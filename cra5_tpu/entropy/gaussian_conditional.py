@@ -1,0 +1,109 @@
+"""Mean-scale Gaussian conditional entropy model (Ballé et al. 2018) in JAX.
+
+Capability parity with the reference GaussianConditional
+(/root/reference/cra5/models/compressai/entropy_models/entropy_models.py:545-685)
+and the 64-entry log-spaced scale table
+(/root/reference/cra5/models/compressai/models/base.py:54-61).
+
+TPU-first notes: the erfc-based CDF is evaluated in float32 islands even
+under a bfloat16 model (encoder/decoder probability consistency,
+SURVEY.md §7 hard part 3); ``build_indexes`` is a vectorized searchsorted
+rather than the reference's 64-pass comparison loop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.special
+import scipy.stats
+
+from .cdf import CdfTable, build_cdf_table
+from .ops import lower_bound, quantize
+
+SCALES_MIN = 0.11
+SCALES_MAX = 256.0
+SCALES_LEVELS = 64
+
+
+def get_scale_table(
+    smin: float = SCALES_MIN, smax: float = SCALES_MAX, levels: int = SCALES_LEVELS
+) -> np.ndarray:
+    return np.exp(np.linspace(math.log(smin), math.log(smax), levels)).astype(np.float32)
+
+
+def _standardized_cumulative(x: jax.Array) -> jax.Array:
+    # 0.5 * erfc(-x / sqrt(2)); erfc maximizes precision in the tails.
+    const = -(2 ** -0.5)
+    return 0.5 * jax.scipy.special.erfc(const * x.astype(jnp.float32))
+
+
+def build_indexes(scales: jax.Array, scale_table: jax.Array, scale_bound: float = SCALES_MIN) -> jax.Array:
+    """Map each scale to its CDF-table row: the number of table entries
+    (excluding the last) strictly below the bounded scale. Equivalent to the
+    reference bucketing loop (entropy_models.py:679-685)."""
+    scales = lower_bound(scales, scale_bound)
+    return jnp.searchsorted(scale_table[:-1], scales, side="left").astype(jnp.int32)
+
+
+class GaussianConditional(nn.Module):
+    scale_bound: float = SCALES_MIN
+    tail_mass: float = 1e-9
+    likelihood_bound: float = 1e-9
+
+    def likelihood(
+        self, inputs: jax.Array, scales: jax.Array, means: Optional[jax.Array] = None
+    ) -> jax.Array:
+        values = inputs - means if means is not None else inputs
+        scales = lower_bound(scales.astype(jnp.float32), self.scale_bound)
+        values = jnp.abs(values).astype(jnp.float32)
+        upper = _standardized_cumulative((0.5 - values) / scales)
+        lower = _standardized_cumulative((-0.5 - values) / scales)
+        return upper - lower
+
+    def __call__(
+        self,
+        inputs: jax.Array,
+        scales: jax.Array,
+        means: Optional[jax.Array] = None,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        mode = "noise" if training else "dequantize"
+        outputs = quantize(inputs, mode, means=means, rng=rng)
+        likelihood = self.likelihood(outputs, scales, means)
+        if self.likelihood_bound > 0:
+            likelihood = lower_bound(likelihood, self.likelihood_bound)
+        return outputs, likelihood
+
+
+def gc_update(scale_table: np.ndarray, tail_mass: float = 1e-9, precision: int = 16) -> CdfTable:
+    """Build per-scale integer CDF tables on host (float64).
+
+    Parity with reference entropy_models.py:619-643 ``GaussianConditional.update``.
+    """
+    scale_table = np.asarray(scale_table, dtype=np.float64)
+    multiplier = -scipy.stats.norm.ppf(tail_mass / 2)
+    pmf_center = np.ceil(scale_table * multiplier).astype(np.int64)
+    pmf_length = 2 * pmf_center + 1
+    max_length = int(pmf_length.max())
+
+    samples = np.abs(np.arange(max_length, dtype=np.int64) - pmf_center[:, None]).astype(np.float64)
+    scales = scale_table[:, None]
+
+    def std_cum(x):
+        return 0.5 * scipy.special.erfc(-(2 ** -0.5) * x)
+
+    upper = std_cum((0.5 - samples) / scales)
+    lower = std_cum((-0.5 - samples) / scales)
+    pmf = upper - lower
+    tail = 2 * lower[:, :1]
+
+    table = build_cdf_table(pmf, tail, pmf_length, precision)
+    table.offset = (-pmf_center).astype(np.int32)
+    return table
