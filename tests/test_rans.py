@@ -1,0 +1,213 @@
+"""Coder tests: python oracle vs native C++ bit-exactness, roundtrips,
+bypass/escape edge cases (SURVEY.md §4 'property tests for the parallel
+rANS, bypass edge cases at max_value')."""
+
+import numpy as np
+import pytest
+
+from cra5_tpu.coder import native
+from cra5_tpu.coder.rans_py import RansEncoder, RansDecoder
+from cra5_tpu.coder.rans_tpu import LaneCoder
+from cra5_tpu.entropy.cdf import CdfTable, build_cdf_table
+
+
+def make_table(rng, ncdfs=4, max_bins=12):
+    """Random valid CdfTable."""
+    lengths = rng.integers(1, max_bins, size=ncdfs)
+    max_len = int(lengths.max())
+    pmfs = np.zeros((ncdfs, max_len), dtype=np.float32)
+    for i, L in enumerate(lengths):
+        p = rng.random(L).astype(np.float32) + 0.01
+        p /= p.sum() * 1.05
+        pmfs[i, :L] = p
+    tails = np.full(ncdfs, 0.01, dtype=np.float32)
+    table = build_cdf_table(pmfs, tails, lengths)
+    table.offset = rng.integers(-10, 10, size=ncdfs).astype(np.int32)
+    return table
+
+
+def sample_symbols(rng, table, n, escape_frac=0.02):
+    idx = rng.integers(0, table.num_indexes, size=n).astype(np.int32)
+    max_vals = table.cdf_length[idx] - 2
+    bins = (rng.random(n) * max_vals).astype(np.int32)
+    sym = bins + table.offset[idx]
+    # sprinkle out-of-range symbols to exercise the escape path
+    esc = rng.random(n) < escape_frac
+    sym = np.where(esc, sym + rng.integers(-300, 300, size=n), sym)
+    return sym.astype(np.int32), idx
+
+
+def to_lists(table):
+    return (
+        table.quantized_cdf.tolist(),
+        table.cdf_length.tolist(),
+        table.offset.tolist(),
+    )
+
+
+def test_py_roundtrip_simple(rng):
+    table = make_table(rng)
+    sym, idx = sample_symbols(rng, table, 500)
+    cdfs, sizes, offs = to_lists(table)
+    enc = RansEncoder().encode_with_indexes(sym.tolist(), idx.tolist(), cdfs, sizes, offs)
+    dec = RansDecoder().decode_with_indexes(enc, idx.tolist(), cdfs, sizes, offs)
+    assert np.array_equal(np.asarray(dec), sym)
+
+
+def test_native_available():
+    assert native.native_available(), "C++ coder must build in this environment"
+
+
+def test_native_bit_exact_vs_python(rng):
+    for trial in range(5):
+        table = make_table(rng)
+        sym, idx = sample_symbols(rng, table, 300, escape_frac=0.05)
+        cdfs, sizes, offs = to_lists(table)
+        py = RansEncoder().encode_with_indexes(sym.tolist(), idx.tolist(), cdfs, sizes, offs)
+        cc = native.encode_with_indexes(sym, idx, table.quantized_cdf, table.cdf_length, table.offset)
+        assert py == cc, f"trial {trial}: byte streams differ"
+        dec = native.decode_with_indexes(cc, idx, table.quantized_cdf, table.cdf_length, table.offset)
+        assert np.array_equal(dec, sym)
+
+
+def test_native_decodes_python_stream_and_vice_versa(rng):
+    table = make_table(rng)
+    sym, idx = sample_symbols(rng, table, 400)
+    cdfs, sizes, offs = to_lists(table)
+    py_stream = RansEncoder().encode_with_indexes(sym.tolist(), idx.tolist(), cdfs, sizes, offs)
+    dec_native = native.decode_with_indexes(py_stream, idx, table.quantized_cdf, table.cdf_length, table.offset)
+    assert np.array_equal(dec_native, sym)
+    cc_stream = native.encode_with_indexes(sym, idx, table.quantized_cdf, table.cdf_length, table.offset)
+    dec_py = RansDecoder().decode_with_indexes(cc_stream, idx.tolist(), cdfs, sizes, offs)
+    assert np.array_equal(np.asarray(dec_py), sym)
+
+
+def test_extreme_escape_values(rng):
+    """Symbols far outside the table range (multi-chunk bypass)."""
+    table = make_table(rng, ncdfs=2, max_bins=4)
+    n = 64
+    idx = rng.integers(0, 2, size=n).astype(np.int32)
+    sym = rng.integers(-(2**20), 2**20, size=n).astype(np.int32)
+    cc = native.encode_with_indexes(sym, idx, table.quantized_cdf, table.cdf_length, table.offset)
+    dec = native.decode_with_indexes(cc, idx, table.quantized_cdf, table.cdf_length, table.offset)
+    assert np.array_equal(dec, sym)
+    cdfs, sizes, offs = to_lists(table)
+    py = RansEncoder().encode_with_indexes(sym.tolist(), idx.tolist(), cdfs, sizes, offs)
+    assert py == cc
+
+
+def test_boundary_symbols(rng):
+    """max_value-1, max_value, and just-below-0 bins."""
+    table = make_table(rng, ncdfs=3, max_bins=8)
+    idx = np.repeat(np.arange(3, dtype=np.int32), 6)
+    mv = table.cdf_length[idx] - 2
+    off = table.offset[idx]
+    sym = np.concatenate([
+        (mv - 1 + off)[:6],        # last in-range bin
+        (mv + off)[6:12],          # first escape (raw_val 0)
+        (off - 1)[12:18],          # negative escape
+    ]).astype(np.int32)
+    cc = native.encode_with_indexes(sym, idx, table.quantized_cdf, table.cdf_length, table.offset)
+    dec = native.decode_with_indexes(cc, idx, table.quantized_cdf, table.cdf_length, table.offset)
+    assert np.array_equal(dec, sym)
+
+
+def test_streaming_decoder(rng):
+    table = make_table(rng)
+    sym, idx = sample_symbols(rng, table, 200)
+    cc = native.encode_with_indexes(sym, idx, table.quantized_cdf, table.cdf_length, table.offset)
+    sd = native.StreamingDecoder(cc)
+    # decode in two chunks (autoregressive usage pattern)
+    a = sd.decode(idx[:120], table.quantized_cdf, table.cdf_length, table.offset)
+    b = sd.decode(idx[120:], table.quantized_cdf, table.cdf_length, table.offset)
+    assert np.array_equal(np.concatenate([a, b]), sym)
+
+
+def test_native_cdf_matches_numpy(rng):
+    from cra5_tpu.entropy.cdf import pmf_to_quantized_cdf
+
+    for _ in range(50):
+        n = rng.integers(2, 40)
+        pmf = rng.random(n).astype(np.float32)
+        pmf /= pmf.sum() * rng.uniform(1.0, 1.3)
+        a = pmf_to_quantized_cdf(pmf)
+        b = native.pmf_to_quantized_cdf_native(pmf)
+        assert np.array_equal(a, b)
+
+
+def test_malformed_stream_rejected(rng):
+    table = make_table(rng)
+    sym, idx = sample_symbols(rng, table, 50)
+    with pytest.raises(ValueError):
+        native.decode_with_indexes(b"\x00" * 6, idx, table.quantized_cdf, table.cdf_length, table.offset)
+
+
+# ---- TPU lane coder (format v2) ----------------------------------------
+
+def test_lane_roundtrip_basic(rng):
+    table = make_table(rng)
+    sym, idx = sample_symbols(rng, table, 5000, escape_frac=0.01)
+    coder = LaneCoder(table, num_lanes=64)
+    data = coder.encode(sym, idx)
+    out = coder.decode(data, idx)
+    assert np.array_equal(out, sym)
+
+
+def test_lane_roundtrip_no_escapes(rng):
+    table = make_table(rng)
+    sym, idx = sample_symbols(rng, table, 1000, escape_frac=0.0)
+    coder = LaneCoder(table, num_lanes=32)
+    out = coder.decode(coder.encode(sym, idx), idx)
+    assert np.array_equal(out, sym)
+
+
+def test_lane_roundtrip_all_escapes(rng):
+    table = make_table(rng, ncdfs=2, max_bins=4)
+    n = 300
+    idx = rng.integers(0, 2, size=n).astype(np.int32)
+    sym = rng.integers(10**6, 10**7, size=n).astype(np.int32)
+    coder = LaneCoder(table, num_lanes=16)
+    out = coder.decode(coder.encode(sym, idx), idx)
+    assert np.array_equal(out, sym)
+
+
+def test_lane_odd_sizes_and_padding(rng):
+    table = make_table(rng)
+    for n in (1, 7, 63, 64, 65, 1023):
+        sym, idx = sample_symbols(rng, table, n)
+        coder = LaneCoder(table, num_lanes=64)
+        out = coder.decode(coder.encode(sym, idx), idx)
+        assert np.array_equal(out, sym), f"n={n}"
+
+
+def test_lane_empty():
+    table = CdfTable(
+        quantized_cdf=np.array([[0, 2**15, 2**16]], dtype=np.int32),
+        cdf_length=np.array([3], dtype=np.int32),
+        offset=np.array([0], dtype=np.int32),
+    )
+    coder = LaneCoder(table)
+    data = coder.encode(np.zeros(0, np.int32), np.zeros(0, np.int32))
+    out = coder.decode(data, np.zeros(0, np.int32))
+    assert out.size == 0
+
+
+def test_lane_compression_ratio_sane(rng):
+    """Lane overhead must stay small: compare against the serial coder."""
+    table = make_table(rng, ncdfs=8, max_bins=32)
+    sym, idx = sample_symbols(rng, table, 100_000, escape_frac=0.001)
+    serial = native.encode_with_indexes(sym, idx, table.quantized_cdf, table.cdf_length, table.offset)
+    lanes = LaneCoder(table).encode(sym, idx)  # default lanes: >=512 sym/lane
+    overhead = len(lanes) / len(serial) - 1.0
+    assert overhead < 0.025, f"lane overhead {overhead:.2%} too large"
+
+
+def test_lane_2d_shapes(rng):
+    table = make_table(rng)
+    sym, idx = sample_symbols(rng, table, 24 * 32)
+    sym = sym.reshape(24, 32)
+    idx = idx.reshape(24, 32)
+    coder = LaneCoder(table, num_lanes=16)
+    out = coder.decode(coder.encode(sym, idx), idx)
+    assert out.shape == (24, 32)
+    assert np.array_equal(out, sym)
