@@ -1,0 +1,89 @@
+"""Benchmark: 268v ERA5 encode+decode roundtrip throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's published per-sample GPU latency (VIVT eval,
+/root/reference/cra5/models/compressai/utils/plot/VIVT-69.json:60-72:
+encode 0.0983-0.1002 s + decode 0.0343-0.0350 s => ~7.5 roundtrips/s).
+The metric here is full 268v compress -> bytes -> decompress roundtrips
+per second (model forward + entropy coding, host<->device included).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cra5_tpu.models import VAEformer, VAEformerCodec, vaeformer_268
+
+    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else jnp.float32
+
+    cfg = vaeformer_268()
+    model = VAEformer(cfg, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, cfg.in_chans, *cfg.img_size), jnp.float32)
+    t0 = time.time()
+    variables = model.init(rng, x)
+    init_s = time.time() - t0
+
+    codec = VAEformerCodec(model, variables, coder="v2")
+    codec.update()
+
+    # warmup (compilation)
+    t0 = time.time()
+    for _ in range(warmup):
+        out = codec.compress(x)
+        dec = codec.decompress(out["strings"], out["z_shape"])
+        jax.block_until_ready(dec["x_hat"])
+    compile_s = time.time() - t0
+
+    times = []
+    nbytes = 0
+    for _ in range(iters):
+        t0 = time.time()
+        out = codec.compress(x)
+        dec = codec.decompress(out["strings"], out["z_shape"])
+        jax.block_until_ready(dec["x_hat"])
+        times.append(time.time() - t0)
+        nbytes = sum(len(s[0]) for s in (out["strings"][0], out["strings"][1]))
+
+    mean_t = float(np.mean(times))
+    throughput = 1.0 / mean_t
+    baseline = 1.0 / (0.0983 + 0.0343)  # reference GPU roundtrips/sec
+    result = {
+        "metric": "era5_268v_roundtrips_per_sec_per_chip",
+        "value": round(throughput, 4),
+        "unit": "roundtrips/s",
+        "vs_baseline": round(throughput / baseline, 4),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "mean_roundtrip_s": round(mean_t, 4),
+                    "per_iter_s": [round(t, 4) for t in times],
+                    "bin_bytes": nbytes,
+                    "bpp_721x1440": round(8 * nbytes / (721 * 1440), 4),
+                    "init_s": round(init_s, 1),
+                    "warmup_s": round(compile_s, 1),
+                    "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+                    "backend": jax.default_backend(),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -107,10 +107,12 @@ def vaeformer_159() -> VAEformerConfig:
 
 
 def vaeformer_tiny(in_chans: int = 8) -> VAEformerConfig:
-    """Small geometry for tests/CI: 44x40 grid, 4x4 tokens."""
+    """Small geometry for tests/CI: 41x40 grid, 4x4 tokens. Mirrors the
+    ERA5 relation H = (Hp-1)*stride + kernel so the ConvTranspose inverts
+    exactly (41 = 3*10+11, like 721 = 71*10+11)."""
     return VAEformerConfig(
         in_chans=in_chans,
-        img_size=(44, 40),
+        img_size=(41, 40),
         patch_size=(11, 10),
         patch_stride=(10, 10),
         embed_dim=8,

@@ -1,0 +1,22 @@
+from .loss import RateDistortionLoss, rate_distortion_loss, kl_weighted_loss
+from .checkpoints import save_variables, load_variables
+from .optim import make_net_aux_optimizers, split_net_aux_params
+from .ema import EmaState, ema_init, ema_update
+from .loop import Trainer, TrainerConfig, TrainState, make_train_step
+
+__all__ = [
+    "Trainer",
+    "TrainerConfig",
+    "TrainState",
+    "make_train_step",
+    "RateDistortionLoss",
+    "rate_distortion_loss",
+    "kl_weighted_loss",
+    "save_variables",
+    "load_variables",
+    "make_net_aux_optimizers",
+    "split_net_aux_params",
+    "EmaState",
+    "ema_init",
+    "ema_update",
+]

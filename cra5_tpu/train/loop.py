@@ -1,0 +1,174 @@
+"""Training loop: optax/jit train step with mesh sharding, EMA, and
+checkpointed resume. First-class replacement for the external mmengine
+'nwp' runner the reference depends on (SURVEY.md §0).
+
+The step is a single jitted function; under a mesh, batches are sharded
+over 'dp' and params over 'tp' (parallel/sharding.py) and GSPMD inserts
+the gradient all-reduces. The net/aux optimizer split follows the
+reference (optimizers/net_aux.py:39): aux trains only EB quantiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.vaeformer import VAEformer
+from .checkpoints import save_variables, load_variables, write_last_checkpoint
+from .ema import EmaState, ema_init, ema_update
+from .loss import RateDistortionLoss, kl_weighted_loss
+from .optim import make_net_aux_optimizers
+
+
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array
+    params: Dict[str, Any]
+    opt_state: Any
+    ema: Optional[EmaState] = None
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    learning_rate: float = 1e-4
+    aux_learning_rate: float = 1e-3
+    lmbda: float = 0.01
+    bpp_weight: float = 0.01
+    kl_weight: float = 1e-6
+    use_kl: bool = False
+    use_ema: bool = True
+    ema_decay: float = 0.9999
+    max_grad_norm: float = 1.0
+    log_every: int = 50
+    ckpt_every: int = 1000
+    ckpt_dir: str = "checkpoints"
+
+
+def make_train_step(
+    model: VAEformer,
+    tx: optax.GradientTransformation,
+    cfg: TrainerConfig,
+) -> Callable:
+    rd = RateDistortionLoss(lmbda=cfg.lmbda, bpp_weight=cfg.bpp_weight)
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params}, batch, training=True, rng=rng)
+        losses = rd(out, batch)
+        aux = model.apply({"params": params}, method=VAEformer.aux_loss)
+        total = losses["loss"] + aux
+        metrics = {**losses, "aux_loss": aux}
+        if cfg.use_kl:
+            klo = kl_weighted_loss(out, batch, kl_weight=cfg.kl_weight)
+            total = total + klo["vae_loss"]
+            metrics.update(klo)
+        metrics["total_loss"] = total
+        return total, metrics
+
+    def train_step(state: TrainState, batch: jax.Array, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema is not None:
+            ema = ema_update(ema, params, cfg.ema_decay)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state, ema=ema),
+            metrics,
+        )
+
+    return train_step
+
+
+class Trainer:
+    """Orchestrates init/resume, the jitted step, logging, checkpoints."""
+
+    def __init__(
+        self,
+        model: VAEformer,
+        cfg: TrainerConfig = TrainerConfig(),
+        mesh: Optional[Mesh] = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.seed = seed
+        self.tx = make_net_aux_optimizers(
+            cfg.learning_rate, cfg.aux_learning_rate, cfg.max_grad_norm
+        )
+        self._step_fn = jax.jit(make_train_step(model, self.tx, cfg), donate_argnums=(0,))
+
+    def init_state(self, example_batch: jax.Array) -> TrainState:
+        variables = self.model.init(jax.random.PRNGKey(self.seed), example_batch)
+        params = variables["params"]
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_variables
+
+            params = shard_variables(self.mesh, params)
+        opt_state = self.tx.init(params)
+        ema = ema_init(params) if self.cfg.use_ema else None
+        return TrainState(step=jnp.int32(0), params=params, opt_state=opt_state, ema=ema)
+
+    def shard_batch(self, batch: jax.Array) -> jax.Array:
+        if self.mesh is None or "dp" not in self.mesh.axis_names:
+            return jnp.asarray(batch)
+        return jax.device_put(
+            jnp.asarray(batch), NamedSharding(self.mesh, P("dp"))
+        )
+
+    def fit(
+        self,
+        data: Iterable,
+        state: Optional[TrainState] = None,
+        num_steps: Optional[int] = None,
+        log_fn: Callable[[int, Dict[str, float]], None] = None,
+    ) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed + 1)
+        it = iter(data)
+        if state is None:
+            first = next(it)
+            state = self.init_state(self.shard_batch(first))
+            data_iter = _chain_first(first, it)
+        else:
+            data_iter = it
+
+        t0 = time.time()
+        for i, batch in enumerate(data_iter):
+            if num_steps is not None and i >= num_steps:
+                break
+            batch = self.shard_batch(batch)
+            state, metrics = self._step_fn(state, batch, rng)
+            step = int(state.step)
+            if step % self.cfg.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["steps_per_sec"] = self.cfg.log_every / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                if log_fn is not None:
+                    log_fn(step, m)
+                else:
+                    print(f"step {step}: " + " ".join(f"{k}={v:.4g}" for k, v in m.items()))
+            if step % self.cfg.ckpt_every == 0:
+                self.save(state)
+        return state
+
+    def save(self, state: TrainState) -> str:
+        path = os.path.join(self.cfg.ckpt_dir, f"step_{int(state.step)}.msgpack")
+        save_variables(path, {"params": jax.tree.map(lambda x: x, state.params)})
+        write_last_checkpoint(self.cfg.ckpt_dir, path)
+        return path
+
+
+def _chain_first(first, rest):
+    yield first
+    yield from rest

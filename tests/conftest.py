@@ -3,8 +3,10 @@ multi-chip sharding tests run without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force (not setdefault): the
+# driver environment pins JAX_PLATFORMS to the tunneled TPU, and tests must
+# never contend for the single real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,100 @@
+"""Training loop: loss math, net/aux split, EMA, one real train step with
+decreasing loss, checkpoint save/load roundtrip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cra5_tpu.models import VAEformer, vaeformer_tiny
+from cra5_tpu.train import (
+    EmaState,
+    RateDistortionLoss,
+    Trainer,
+    TrainerConfig,
+    ema_init,
+    ema_update,
+    load_variables,
+    make_net_aux_optimizers,
+    save_variables,
+    split_net_aux_params,
+)
+
+
+def test_rd_loss_values():
+    rd = RateDistortionLoss(lmbda=1.0, bpp_weight=1.0)
+    x = jnp.zeros((1, 2, 4, 4))
+    out = {
+        "x_hat": jnp.ones((1, 2, 4, 4)) * 0.5,
+        "likelihoods": {"y": jnp.full((1, 2, 4, 4), 0.5)},
+    }
+    losses = rd(out, x)
+    # each of 32 symbols costs 1 bit; num_pixels = 16 -> bpp = 2
+    assert abs(float(losses["bpp_loss"]) - 2.0) < 1e-5
+    assert abs(float(losses["mse_loss"]) - 0.25) < 1e-5
+
+
+def test_net_aux_split_labels():
+    cfg = vaeformer_tiny()
+    model = VAEformer(cfg)
+    x = jnp.zeros((1, cfg.in_chans, *cfg.img_size))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    labels = split_net_aux_params(params)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    aux = [
+        "/".join(getattr(p, "key", str(p)) for p in path)
+        for path, lab in flat
+        if lab == "aux"
+    ]
+    assert aux == ["entropy_bottleneck/quantiles"]
+
+
+def test_ema_warmup_decay():
+    p = {"w": jnp.zeros(3)}
+    st = ema_init(p)
+    st = ema_update(st, {"w": jnp.ones(3)}, decay=0.9999)
+    # step 1: effective decay = min(0.9999, 2/11)
+    expected = 1.0 - (1.0 - 2.0 / 11.0)
+    assert np.allclose(np.asarray(st.params["w"]), 1.0 - 2.0 / 11.0, atol=1e-6)
+    assert int(st.steps) == 1
+
+
+@pytest.mark.slow
+def test_train_step_decreases_loss(tmp_path):
+    cfg = vaeformer_tiny()
+    model = VAEformer(cfg)
+    tcfg = TrainerConfig(
+        learning_rate=1e-3, log_every=10**9, ckpt_every=10**9,
+        ckpt_dir=str(tmp_path), use_ema=True,
+    )
+    trainer = Trainer(model, tcfg)
+    batch = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.in_chans, *cfg.img_size)) * 0.5
+    state = trainer.init_state(batch)
+    rng = jax.random.PRNGKey(42)
+    _, m0 = trainer._step_fn(state, batch, rng)
+    state = trainer.init_state(batch)
+    losses = []
+    for _ in range(8):
+        state, metrics = trainer._step_fn(state, batch, rng)
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert int(state.step) == 8
+    assert state.ema is not None and int(state.ema.steps) == 8
+
+    # checkpoint roundtrip
+    path = trainer.save(state)
+    assert os.path.exists(path)
+    restored = load_variables(path)
+    flat_a = jax.tree_util.tree_leaves(restored["params"])
+    flat_b = jax.tree_util.tree_leaves(state.params)
+    assert all(np.allclose(a, b) for a, b in zip(flat_a, flat_b))
+
+
+def test_checkpoint_msgpack_roundtrip(tmp_path):
+    tree = {"params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    p = str(tmp_path / "ck.msgpack")
+    save_variables(p, tree)
+    out = load_variables(p)
+    assert np.allclose(out["params"]["a"], tree["params"]["a"])
