@@ -28,7 +28,8 @@ def make_mesh(
     """Build a mesh from an axis-name -> size dict, e.g. {"dp": 4, "tp": 2}.
 
     Defaults to pure data parallelism over all visible devices. Axis sizes
-    must multiply to the device count; use -1 for one inferred axis.
+    must multiply to at most the device count (the first prod(axes) devices
+    are used); use -1 for one inferred axis over all visible devices.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -44,7 +45,8 @@ def make_mesh(
             raise ValueError(f"{n} devices not divisible by {known}")
         sizes[sizes.index(-1)] = n // known
         axes = dict(zip(axes.keys(), sizes))
-    if int(np.prod(list(axes.values()))) != n:
-        raise ValueError(f"mesh {axes} does not match {n} devices")
-    dev_array = np.asarray(devices).reshape(tuple(axes.values()))
+    need = int(np.prod(list(axes.values())))
+    if need > n:
+        raise ValueError(f"mesh {axes} needs {need} devices, only {n} visible")
+    dev_array = np.asarray(devices[:need]).reshape(tuple(axes.values()))
     return Mesh(dev_array, tuple(axes.keys()))

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class EmaState:
     params: Dict[str, Any]
@@ -22,7 +23,12 @@ class EmaState:
 
 
 def ema_init(params: Dict[str, Any]) -> EmaState:
-    return EmaState(params=jax.tree.map(jnp.asarray, params), steps=jnp.int32(0))
+    # Real copies, not aliases: the train step donates its TrainState, and
+    # aliased ema/params buffers would be donated twice.
+    return EmaState(
+        params=jax.tree.map(lambda x: jnp.asarray(x).copy(), params),
+        steps=jnp.int32(0),
+    )
 
 
 def ema_update(state: EmaState, new_params: Dict[str, Any], decay: float = 0.9999) -> EmaState:

@@ -28,6 +28,7 @@ from .loss import RateDistortionLoss, kl_weighted_loss
 from .optim import make_net_aux_optimizers
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
     step: jax.Array

@@ -3,9 +3,10 @@ multi-chip sharding tests run without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# Must be set before jax is imported anywhere. Force (not setdefault): the
-# driver environment pins JAX_PLATFORMS to the tunneled TPU, and tests must
-# never contend for the single real chip.
+# The driver environment pins JAX_PLATFORMS to the tunneled TPU and its
+# sitecustomize imports jax at interpreter startup, so mutating os.environ
+# here is too late — jax.config.update is the only switch that still works.
+# Tests must never contend for the single real chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -14,13 +15,18 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
 # Persistent compilation cache: scan-heavy coder kernels dominate test time.
+# XLA-internal AOT caches stay off — this environment remote-compiles with
+# CPU features the host lacks, and reloading those AOT blobs risks SIGILL.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 
 @pytest.fixture

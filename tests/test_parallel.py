@@ -20,8 +20,12 @@ def test_make_mesh_shapes():
     assert m.shape == {"dp": 4, "tp": 2}
     m2 = make_mesh({"dp": -1})
     assert m2.shape == {"dp": 8}
+    # Subset meshes are allowed (first prod(axes) devices) so dryrun can
+    # build an n<visible mesh; only oversubscription raises.
+    m3 = make_mesh({"dp": 3})
+    assert m3.shape == {"dp": 3}
     with pytest.raises(ValueError):
-        make_mesh({"dp": 3})
+        make_mesh({"dp": 16})
 
 
 def test_param_specs_megatron_split():
