@@ -6,6 +6,16 @@ from .vaeformer import (
     vaeformer_tiny,
     VAEformerCodec,
 )
+from .google import (
+    FactorizedPrior,
+    FactorizedPriorReLU,
+    ScaleHyperprior,
+    MeanScaleHyperprior,
+    JointAutoregressiveHierarchicalPriors,
+)
+from .waseda import Cheng2020Anchor, Cheng2020Attention
+from .codec import ImageCodec, AutoregressiveCodec, make_codec
+from .zoo import create_model, init_model, load_model, model_architectures, cfgs
 
 __all__ = [
     "VAEformer",
@@ -14,4 +24,19 @@ __all__ = [
     "vaeformer_159",
     "vaeformer_tiny",
     "VAEformerCodec",
+    "FactorizedPrior",
+    "FactorizedPriorReLU",
+    "ScaleHyperprior",
+    "MeanScaleHyperprior",
+    "JointAutoregressiveHierarchicalPriors",
+    "Cheng2020Anchor",
+    "Cheng2020Attention",
+    "ImageCodec",
+    "AutoregressiveCodec",
+    "make_codec",
+    "create_model",
+    "init_model",
+    "load_model",
+    "model_architectures",
+    "cfgs",
 ]
