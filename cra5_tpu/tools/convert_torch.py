@@ -1,0 +1,247 @@
+"""One-way torch -> JAX checkpoint converter.
+
+Converts reference CRA5/CompressAI ``.pth`` state dicts into this
+framework's flax variables (+ the trained CDF tables that ride along in
+the reference checkpoints, models/base.py:69-89). Key surgery follows
+the reference's own conventions:
+  - ``module.`` DataParallel prefixes and ParameterList migrations
+    (zoo/pretrained.py:36-58)
+  - VAEformer tower names g_a/g_s/h_a/h_s, patch_embed.proj, pos_embed,
+    blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2},
+    quan_mlp/post_quan_mlp, norm, final (vit_nlc.py:328-756)
+  - EntropyBottleneck _matrix{i}/_bias{i}/_factor{i}/quantiles
+    (entropy_models.py:370-385), buffers _offset/_quantized_cdf/_cdf_length
+
+Weight-layout rules (torch -> flax):
+  Linear  (out, in)          -> kernel (in, out)
+  Conv2d  (out, in, kh, kw)  -> kernel (kh, kw, in, out)
+  ConvTranspose2d (in, out, kh, kw) -> kernel (kh, kw, in, out), flipped
+    spatially (torch conv_transpose cross-correlates the *flipped*
+    kernel relative to flax's ConvTranspose(transpose_kernel=False))
+  LayerNorm weight -> scale
+
+Usage:
+  python -m cra5_tpu.tools.convert_torch cra5_268v_300k.pth -o out.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _to_numpy(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def rename_key(key: str) -> str:
+    """Reference key surgery (zoo/pretrained.py:36-58 + vaeformer.py:206-232)."""
+    if key.startswith("module."):
+        key = key[7:]
+    if key.startswith("model."):
+        key = key[6:]
+    if ".downsample." in key:
+        key = key.replace("downsample", "skip")
+    m = re.match(r"^(.*entropy_bottleneck\._)(biases|matrices|factors)\.(\d+)$", key)
+    if m:
+        singular = {"biases": "bias", "matrices": "matrix", "factors": "factor"}[m.group(2)]
+        key = f"{m.group(1)}{singular}{m.group(3)}"
+    return key
+
+
+def _set(tree: Dict[str, Any], path, value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _linear(tree, path, name: str, w: Optional[np.ndarray], b: Optional[np.ndarray]):
+    if w is not None:
+        _set(tree, path + (name, "kernel"), w.T)
+    if b is not None:
+        _set(tree, path + (name, "bias"), b)
+
+
+def convert_vit_tower(sd: Dict[str, np.ndarray], prefix: str, n_blocks_offset: int = 0) -> Dict[str, Any]:
+    """Convert one ViT tower (g_a/g_s/h_a/h_s) subtree of a reference
+    state dict into a flax params subtree. Handles encoder (patch_embed +
+    pos_embed + blocks + quan_mlp) and decoder (post_quan_mlp + blocks +
+    norm + final) layouts; reference block index i maps to our
+    ``blocks_{i - n_blocks_offset}`` (decoders number blocks from
+    depth//2, vit_nlc.py:612-624 vs our f"blocks_{j}")."""
+    tree: Dict[str, Any] = {}
+    keys = [k for k in sd if k.startswith(prefix + ".")]
+    for k in keys:
+        sub = k[len(prefix) + 1 :]
+        v = sd[k]
+        if sub == "pos_embed":
+            _set(tree, ("pos_embed",), v)
+        elif sub == "patch_embed.proj.weight":
+            _set(tree, ("patch_embed", "proj", "kernel"), v.transpose(2, 3, 1, 0))
+        elif sub == "patch_embed.proj.bias":
+            _set(tree, ("patch_embed", "proj", "bias"), v)
+        elif sub in ("norm.weight", "norm.bias"):
+            _set(tree, ("norm", "scale" if sub.endswith("weight") else "bias"), v)
+        elif sub == "final.weight":
+            if v.ndim == 4:  # ConvTranspose2d (in, out, kh, kw)
+                _set(
+                    tree,
+                    ("final", "final", "kernel"),
+                    v.transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
+                )
+            else:  # Linear
+                _set(tree, ("final", "kernel"), v.T)
+        elif sub == "final.bias":
+            if sd[prefix + ".final.weight"].ndim == 4:
+                _set(tree, ("final", "final", "bias"), v)
+            else:
+                _set(tree, ("final", "bias"), v)
+        elif sub.startswith(("quan_mlp.", "post_quan_mlp.")):
+            mlp_name, layer, kind = sub.split(".")
+            if kind == "weight":
+                _set(tree, (mlp_name, layer, "kernel"), v.T)
+            else:
+                _set(tree, (mlp_name, layer, "bias"), v)
+        else:
+            m = re.match(r"^blocks\.(\d+)\.(.+)$", sub)
+            if not m:
+                continue  # buffers/aux entries are handled by the caller
+            bi = int(m.group(1)) - n_blocks_offset
+            rest = m.group(2)
+            bpath = (f"blocks_{bi}",)
+            if rest in ("norm1.weight", "norm1.bias", "norm2.weight", "norm2.bias"):
+                ln, kind = rest.split(".")
+                _set(tree, bpath + (ln, "scale" if kind == "weight" else "bias"), v)
+            elif rest.startswith("attn."):
+                _, layer, kind = rest.split(".")
+                if kind == "weight":
+                    _set(tree, bpath + ("attn", layer, "kernel"), v.T)
+                else:
+                    _set(tree, bpath + ("attn", layer, "bias"), v)
+            elif rest.startswith("mlp."):
+                _, layer, kind = rest.split(".")
+                if kind == "weight":
+                    _set(tree, bpath + ("mlp", layer, "kernel"), v.T)
+                else:
+                    _set(tree, bpath + ("mlp", layer, "bias"), v)
+    return tree
+
+
+def convert_entropy_bottleneck(sd: Dict[str, np.ndarray], prefix: str = "entropy_bottleneck") -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for k in sd:
+        if not k.startswith(prefix + "."):
+            continue
+        sub = k[len(prefix) + 1 :]
+        m = re.match(r"^_(matrix|bias|factor)(\d+)$", sub)
+        if m:
+            tree[f"{m.group(1)}{m.group(2)}"] = sd[k]
+        elif sub == "quantiles":
+            tree["quantiles"] = sd[k]
+    return tree
+
+
+def extract_cdf_tables(sd: Dict[str, np.ndarray]):
+    """Pull the trained CDF buffers (EB + GC) into CdfTables so archives
+    decode without re-running update() (reference models/base.py:69-89)."""
+    from ..entropy.cdf import CdfTable
+
+    tables: Dict[str, Any] = {}
+    for name, prefix in (("eb", "entropy_bottleneck"), ("gc", "gaussian_conditional")):
+        q = sd.get(f"{prefix}._quantized_cdf")
+        if q is not None and np.asarray(q).size:
+            tables[name] = CdfTable(
+                quantized_cdf=np.asarray(q, np.int32),
+                cdf_length=np.asarray(sd[f"{prefix}._cdf_length"], np.int32),
+                offset=np.asarray(sd[f"{prefix}._offset"], np.int32),
+            )
+    st = sd.get("gaussian_conditional.scale_table")
+    if st is not None and np.asarray(st).size:
+        tables["scale_table"] = np.asarray(st, np.float32)
+    return tables
+
+
+def convert_conv1x1(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    w = sd[prefix + ".weight"]  # (O, I, 1, 1)
+    out = {"kernel": w.transpose(2, 3, 1, 0)}
+    if prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def convert_vaeformer_state_dict(raw_sd: Dict[str, Any], depth: int) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Full VAEformer conversion -> ({"params": ...}, cdf_tables).
+
+    ``depth`` is the ViT depth (24 for the 268v model); decoder-style
+    towers (g_s, h_s) number reference blocks from depth//2."""
+    sd = {rename_key(k): _to_numpy(v) for k, v in raw_sd.items()}
+    params: Dict[str, Any] = {}
+    params["g_a"] = convert_vit_tower(sd, "g_a")
+    params["g_s"] = convert_vit_tower(sd, "g_s", n_blocks_offset=0)
+    params["h_a"] = convert_vit_tower(sd, "h_a")
+    params["h_s"] = convert_vit_tower(sd, "h_s", n_blocks_offset=0)
+    if "quant_conv.weight" in sd:
+        params["quant_conv"] = convert_conv1x1(sd, "quant_conv")
+    if "post_quant_conv.weight" in sd:
+        params["post_quant_conv"] = convert_conv1x1(sd, "post_quant_conv")
+    params["entropy_bottleneck"] = convert_entropy_bottleneck(sd)
+    tables = extract_cdf_tables(sd)
+    return {"params": params}, tables
+
+
+def convert_checkpoint(path: str, depth: int = 24):
+    """Load a torch .pth and convert (entry used by train.checkpoints)."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model", "net"):
+        if isinstance(raw, dict) and key in raw and isinstance(raw[key], dict):
+            raw = raw[key]
+            break
+    variables, tables = convert_vaeformer_state_dict(raw, depth)
+    variables["_cdf_tables"] = tables  # consumed by VAEformerCodec.set_tables
+    return variables
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("checkpoint", type=str)
+    parser.add_argument("-o", "--output", type=str, required=True)
+    parser.add_argument("--depth", type=int, default=24)
+    args = parser.parse_args(argv)
+
+    variables = convert_checkpoint(args.checkpoint, depth=args.depth)
+    tables = variables.pop("_cdf_tables", {})
+
+    from flax import serialization
+
+    payload = {"variables": variables}
+    if tables:
+        payload["cdf"] = {
+            k: (
+                {
+                    "quantized_cdf": t.quantized_cdf,
+                    "cdf_length": t.cdf_length,
+                    "offset": t.offset,
+                }
+                if hasattr(t, "quantized_cdf")
+                else t
+            )
+            for k, t in tables.items()
+        }
+    with open(args.output, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    print(args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
