@@ -18,15 +18,41 @@ vaeformer/vit_nlc.py:52-287), re-designed TPU-first:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# Fused-attention policy: "auto" uses the Pallas flash kernel on TPU for
+# long sequences (the reference's flash-attn analogue), einsum otherwise.
+_FLASH_MODE = os.environ.get("CRA5_TPU_FLASH", "auto")
+_FLASH_MIN_SEQ = 2048
+
+
+def set_flash_attention(mode: str) -> None:
+    """mode: "auto" | "on" | "off"."""
+    global _FLASH_MODE
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"invalid flash mode {mode!r}")
+    _FLASH_MODE = mode
+
+
+def _use_flash(n: int) -> bool:
+    if _FLASH_MODE == "off":
+        return False
+    if _FLASH_MODE == "on":
+        return True
+    return n >= _FLASH_MIN_SEQ and jax.default_backend() in ("tpu", "axon")
+
 
 def _attend(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     """q, k, v: (B, H, N, D). Softmax in float32."""
+    if _use_flash(q.shape[2]):
+        from ..ops.attention import flash_attention
+
+        return flash_attention(q, k, v, scale)
     dtype = q.dtype
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
