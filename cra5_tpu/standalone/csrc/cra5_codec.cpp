@@ -1,0 +1,360 @@
+// Standalone C++17 tensor codec — runs trained-model bitstreams without
+// Python/JAX (the reference's SADL-codec capability,
+// /root/reference/sadl_codec/: encoder_generic.h:141-349,
+// decoder_generic.h:121-213, rdoq.h, range_coder.{h,cpp}).
+//
+// Artifact formats (all little-endian):
+//   tables file ("CRT1"): int32 ncdfs, stride; then ncdfs*stride int32
+//     quantized_cdf, ncdfs int32 cdf_length, ncdfs int32 offset.
+//   tensor file ("CRX1"): int32 ndim, dims...; then payload — int32 for
+//     symbol tensors, float32 for latent tensors (flag in header).
+//   bitstream ("CRB1"): int32 ndim, dims...; uint32 nbytes; rANS payload.
+//
+// Channel-major CDF indexing (symbol [c, h, w] uses cdf row c), matching
+// EntropyBottleneck._build_indexes (reference entropy_models.py:512).
+//
+// Modes:
+//   encode <tables> <tensor-in> <bitstream-out>
+//   decode <tables> <bitstream-in> <tensor-out>
+//   rdoq   <tables> <float-tensor-in> <lambda> <tensor-out>   (RDO quantize)
+//
+// RDOQ: per-value candidate search (floor/round/ceil) minimizing
+// lambda * (x - q)^2 + bits(q), multithreaded over channels (reference
+// rdoq.h multi-pass search, simplified to the per-sample independent case
+// valid for factorized/per-channel priors).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kPrecision = 16;
+constexpr uint32_t kBypassPrecision = 4;
+constexpr uint32_t kMaxBypassVal = (1u << kBypassPrecision) - 1;
+constexpr uint64_t kRansL = 1ull << 31;
+
+struct Tables {
+  int32_t ncdfs = 0;
+  int32_t stride = 0;
+  std::vector<int32_t> cdf;      // ncdfs * stride
+  std::vector<int32_t> length;   // ncdfs
+  std::vector<int32_t> offset;   // ncdfs
+};
+
+struct Tensor {
+  std::vector<int32_t> dims;
+  std::vector<int32_t> idata;
+  std::vector<float> fdata;
+  bool is_float = false;
+  size_t size() const {
+    size_t n = 1;
+    for (int32_t d : dims) n *= static_cast<size_t>(d);
+    return n;
+  }
+};
+
+bool read_exact(FILE *f, void *p, size_t n) { return fread(p, 1, n, f) == n; }
+
+bool load_tables(const char *path, Tables &t) {
+  FILE *f = fopen(path, "rb");
+  if (!f) return false;
+  char magic[4];
+  if (!read_exact(f, magic, 4) || memcmp(magic, "CRT1", 4) != 0) { fclose(f); return false; }
+  if (!read_exact(f, &t.ncdfs, 4) || !read_exact(f, &t.stride, 4)) { fclose(f); return false; }
+  t.cdf.resize(static_cast<size_t>(t.ncdfs) * t.stride);
+  t.length.resize(t.ncdfs);
+  t.offset.resize(t.ncdfs);
+  bool ok = read_exact(f, t.cdf.data(), t.cdf.size() * 4) &&
+            read_exact(f, t.length.data(), t.length.size() * 4) &&
+            read_exact(f, t.offset.data(), t.offset.size() * 4);
+  fclose(f);
+  return ok;
+}
+
+bool load_tensor(const char *path, Tensor &t) {
+  FILE *f = fopen(path, "rb");
+  if (!f) return false;
+  char magic[4];
+  if (!read_exact(f, magic, 4)) { fclose(f); return false; }
+  bool is_float;
+  if (memcmp(magic, "CRXf", 4) == 0) is_float = true;
+  else if (memcmp(magic, "CRX1", 4) == 0) is_float = false;
+  else { fclose(f); return false; }
+  int32_t ndim;
+  if (!read_exact(f, &ndim, 4) || ndim <= 0 || ndim > 8) { fclose(f); return false; }
+  t.dims.resize(ndim);
+  if (!read_exact(f, t.dims.data(), 4u * ndim)) { fclose(f); return false; }
+  t.is_float = is_float;
+  bool ok;
+  if (is_float) {
+    t.fdata.resize(t.size());
+    ok = read_exact(f, t.fdata.data(), t.fdata.size() * 4);
+  } else {
+    t.idata.resize(t.size());
+    ok = read_exact(f, t.idata.data(), t.idata.size() * 4);
+  }
+  fclose(f);
+  return ok;
+}
+
+bool save_tensor(const char *path, const Tensor &t) {
+  FILE *f = fopen(path, "wb");
+  if (!f) return false;
+  fwrite(t.is_float ? "CRXf" : "CRX1", 1, 4, f);
+  int32_t ndim = static_cast<int32_t>(t.dims.size());
+  fwrite(&ndim, 4, 1, f);
+  fwrite(t.dims.data(), 4, t.dims.size(), f);
+  if (t.is_float) fwrite(t.fdata.data(), 4, t.fdata.size(), f);
+  else fwrite(t.idata.data(), 4, t.idata.size(), f);
+  fclose(f);
+  return true;
+}
+
+// channel index per element for a (C, ...) or (B, C, ...) tensor: dim 0 is
+// channels for ndim <= 3, dim 1 for ndim == 4.
+int channel_axis(const Tensor &t) { return t.dims.size() == 4 ? 1 : 0; }
+
+void channel_indexes(const Tensor &t, std::vector<int32_t> &idx) {
+  const int ax = channel_axis(t);
+  const size_t n = t.size();
+  size_t inner = 1;
+  for (size_t d = ax + 1; d < t.dims.size(); ++d) inner *= t.dims[d];
+  const int32_t C = t.dims[ax];
+  idx.resize(n);
+  for (size_t i = 0; i < n; ++i) idx[i] = static_cast<int32_t>((i / inner) % C);
+}
+
+// ---- rANS core (same construction as coder/csrc/rans64.cpp) ----
+
+struct Sym { uint16_t start; uint16_t range; bool bypass; };
+
+void enc_put(uint64_t &x, std::vector<uint32_t> &em, uint32_t start, uint32_t freq) {
+  uint64_t x_max = ((kRansL >> kPrecision) << 32) * freq;
+  if (x >= x_max) { em.push_back(static_cast<uint32_t>(x)); x >>= 32; }
+  x = ((x / freq) << kPrecision) + (x % freq) + start;
+}
+
+void enc_put_bits(uint64_t &x, std::vector<uint32_t> &em, uint32_t val, uint32_t nbits) {
+  uint32_t freq = 1u << (kPrecision - nbits);
+  uint64_t x_max = ((kRansL >> kPrecision) << 32) * freq;
+  if (x >= x_max) { em.push_back(static_cast<uint32_t>(x)); x >>= 32; }
+  x = (x << nbits) | val;
+}
+
+std::vector<uint32_t> encode_stream(const Tables &tb, const int32_t *symbols,
+                                    const int32_t *indexes, size_t n) {
+  std::vector<Sym> syms;
+  syms.reserve(n + n / 8);
+  for (size_t i = 0; i < n; ++i) {
+    const int32_t k = indexes[i];
+    const int32_t *cdf = tb.cdf.data() + static_cast<size_t>(k) * tb.stride;
+    const int32_t max_value = tb.length[k] - 2;
+    int32_t value = symbols[i] - tb.offset[k];
+    uint32_t raw_val = 0;
+    if (value < 0) { raw_val = static_cast<uint32_t>(-2 * value - 1); value = max_value; }
+    else if (value >= max_value) { raw_val = static_cast<uint32_t>(2 * (value - max_value)); value = max_value; }
+    syms.push_back({static_cast<uint16_t>(cdf[value]),
+                    static_cast<uint16_t>(cdf[value + 1] - cdf[value]), false});
+    if (value == max_value) {
+      int32_t nb = 0;
+      while ((raw_val >> (nb * kBypassPrecision)) != 0) ++nb;
+      int32_t val = nb;
+      while (val >= static_cast<int32_t>(kMaxBypassVal)) {
+        syms.push_back({static_cast<uint16_t>(kMaxBypassVal), 0, true});
+        val -= kMaxBypassVal;
+      }
+      syms.push_back({static_cast<uint16_t>(val), 0, true});
+      for (int32_t j = 0; j < nb; ++j) {
+        uint32_t chunk = (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal;
+        syms.push_back({static_cast<uint16_t>(chunk), 0, true});
+      }
+    }
+  }
+  uint64_t x = kRansL;
+  std::vector<uint32_t> em;
+  for (size_t i = syms.size(); i-- > 0;) {
+    if (!syms[i].bypass) enc_put(x, em, syms[i].start, syms[i].range);
+    else enc_put_bits(x, em, syms[i].start, kBypassPrecision);
+  }
+  std::vector<uint32_t> out(em.size() + 2);
+  out[0] = static_cast<uint32_t>(x);
+  out[1] = static_cast<uint32_t>(x >> 32);
+  for (size_t i = 0; i < em.size(); ++i) out[2 + i] = em[em.size() - 1 - i];
+  return out;
+}
+
+struct DecState { uint64_t x; const uint32_t *ptr; const uint32_t *end; };
+
+uint32_t dec_get_bits(DecState &s, uint32_t nbits) {
+  uint32_t val = static_cast<uint32_t>(s.x & ((1u << nbits) - 1));
+  s.x >>= nbits;
+  if (s.x < kRansL && s.ptr < s.end) s.x = (s.x << 32) | *s.ptr++;
+  return val;
+}
+
+bool decode_stream(const Tables &tb, const uint32_t *words, size_t nwords,
+                   const int32_t *indexes, size_t n, int32_t *out) {
+  if (nwords < 2) return false;
+  DecState s{(static_cast<uint64_t>(words[0]) | (static_cast<uint64_t>(words[1]) << 32)),
+             words + 2, words + nwords};
+  constexpr uint32_t mask = (1u << kPrecision) - 1;
+  for (size_t i = 0; i < n; ++i) {
+    const int32_t k = indexes[i];
+    const int32_t *cdf = tb.cdf.data() + static_cast<size_t>(k) * tb.stride;
+    const int32_t size = tb.length[k];
+    const int32_t max_value = size - 2;
+    const uint32_t cum = static_cast<uint32_t>(s.x & mask);
+    int32_t lo = 0, hi = size - 1;
+    while (hi - lo > 1) {
+      const int32_t mid = (lo + hi) >> 1;
+      if (static_cast<uint32_t>(cdf[mid]) <= cum) lo = mid; else hi = mid;
+    }
+    const uint32_t start = static_cast<uint32_t>(cdf[lo]);
+    const uint32_t freq = static_cast<uint32_t>(cdf[lo + 1]) - start;
+    s.x = freq * (s.x >> kPrecision) + cum - start;
+    if (s.x < kRansL && s.ptr < s.end) s.x = (s.x << 32) | *s.ptr++;
+    int32_t value = lo;
+    if (value == max_value) {
+      uint32_t val = dec_get_bits(s, kBypassPrecision);
+      uint32_t nb = val;
+      while (val == kMaxBypassVal) { val = dec_get_bits(s, kBypassPrecision); nb += val; }
+      uint32_t raw = 0;
+      for (uint32_t j = 0; j < nb; ++j)
+        raw |= dec_get_bits(s, kBypassPrecision) << (j * kBypassPrecision);
+      value = static_cast<int32_t>(raw >> 1);
+      if (raw & 1u) value = -value - 1; else value += max_value;
+    }
+    out[i] = value + tb.offset[k];
+  }
+  return true;
+}
+
+// ---- RDOQ ----
+
+// bits to code symbol s with cdf row k (escape path costed approximately).
+double symbol_bits(const Tables &tb, int32_t k, int32_t s) {
+  const int32_t *cdf = tb.cdf.data() + static_cast<size_t>(k) * tb.stride;
+  const int32_t max_value = tb.length[k] - 2;
+  int32_t v = s - tb.offset[k];
+  if (v >= 0 && v < max_value) {
+    const double freq = static_cast<double>(cdf[v + 1] - cdf[v]);
+    return kPrecision - std::log2(freq);
+  }
+  // escape: tail bucket bits + bypass length/raw nibbles
+  const double tail = static_cast<double>(cdf[max_value + 1] - cdf[max_value]);
+  uint32_t raw = v < 0 ? static_cast<uint32_t>(-2 * v - 1)
+                       : static_cast<uint32_t>(2 * (v - max_value));
+  int nb = 0;
+  while ((raw >> (nb * kBypassPrecision)) != 0) ++nb;
+  return (kPrecision - std::log2(tail)) + kBypassPrecision * (1.0 + nb);
+}
+
+void rdoq_range(const Tables &tb, const float *x, const int32_t *idx,
+                size_t lo, size_t hi, double lambda, int32_t *out) {
+  for (size_t i = lo; i < hi; ++i) {
+    const float v = x[i];
+    const int32_t k = idx[i];
+    const int32_t r = static_cast<int32_t>(std::lround(v));
+    double best_cost = 1e300;
+    int32_t best_q = r;
+    for (int32_t q = r - 1; q <= r + 1; ++q) {
+      const double d = (v - q) * (v - q);
+      const double cost = lambda * d + symbol_bits(tb, k, q);
+      if (cost < best_cost) { best_cost = cost; best_q = q; }
+    }
+    out[i] = best_q;
+  }
+}
+
+int usage() {
+  fprintf(stderr,
+          "usage: cra5_codec encode <tables> <tensor> <out.bin>\n"
+          "       cra5_codec decode <tables> <in.bin> <tensor-out>\n"
+          "       cra5_codec rdoq <tables> <float-tensor> <lambda> <tensor-out>\n");
+  return 2;
+}
+
+}  // namespace
+
+int main(int argc, char **argv) {
+  if (argc < 2) return usage();
+  const std::string mode = argv[1];
+
+  if (mode == "encode" && argc == 5) {
+    Tables tb; Tensor t;
+    if (!load_tables(argv[2], tb)) { fprintf(stderr, "bad tables\n"); return 1; }
+    if (!load_tensor(argv[3], t) || t.is_float) { fprintf(stderr, "bad tensor\n"); return 1; }
+    std::vector<int32_t> idx;
+    channel_indexes(t, idx);
+    std::vector<uint32_t> words = encode_stream(tb, t.idata.data(), idx.data(), t.size());
+    FILE *f = fopen(argv[4], "wb");
+    if (!f) return 1;
+    fwrite("CRB1", 1, 4, f);
+    int32_t ndim = static_cast<int32_t>(t.dims.size());
+    fwrite(&ndim, 4, 1, f);
+    fwrite(t.dims.data(), 4, t.dims.size(), f);
+    uint32_t nbytes = static_cast<uint32_t>(words.size() * 4);
+    fwrite(&nbytes, 4, 1, f);
+    fwrite(words.data(), 4, words.size(), f);
+    fclose(f);
+    printf("%u\n", nbytes);
+    return 0;
+  }
+
+  if (mode == "decode" && argc == 5) {
+    Tables tb;
+    if (!load_tables(argv[2], tb)) { fprintf(stderr, "bad tables\n"); return 1; }
+    FILE *f = fopen(argv[3], "rb");
+    if (!f) return 1;
+    char magic[4];
+    int32_t ndim;
+    if (!read_exact(f, magic, 4) || memcmp(magic, "CRB1", 4) != 0 ||
+        !read_exact(f, &ndim, 4) || ndim <= 0 || ndim > 8) { fclose(f); return 1; }
+    Tensor t;
+    t.dims.resize(ndim);
+    uint32_t nbytes;
+    if (!read_exact(f, t.dims.data(), 4u * ndim) || !read_exact(f, &nbytes, 4)) { fclose(f); return 1; }
+    std::vector<uint32_t> words(nbytes / 4);
+    if (!read_exact(f, words.data(), nbytes)) { fclose(f); return 1; }
+    fclose(f);
+    std::vector<int32_t> idx;
+    channel_indexes(t, idx);
+    t.idata.resize(t.size());
+    if (!decode_stream(tb, words.data(), words.size(), idx.data(), t.size(), t.idata.data())) {
+      fprintf(stderr, "decode failed\n");
+      return 1;
+    }
+    return save_tensor(argv[4], t) ? 0 : 1;
+  }
+
+  if (mode == "rdoq" && argc == 6) {
+    Tables tb; Tensor t;
+    if (!load_tables(argv[2], tb)) { fprintf(stderr, "bad tables\n"); return 1; }
+    if (!load_tensor(argv[3], t) || !t.is_float) { fprintf(stderr, "need float tensor\n"); return 1; }
+    const double lambda = atof(argv[4]);
+    std::vector<int32_t> idx;
+    channel_indexes(t, idx);
+    Tensor out;
+    out.dims = t.dims;
+    out.idata.resize(t.size());
+    const unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
+    std::vector<std::thread> threads;
+    const size_t chunk = (t.size() + nthreads - 1) / nthreads;
+    for (unsigned w = 0; w < nthreads; ++w) {
+      const size_t lo = w * chunk;
+      const size_t hi = std::min(t.size(), lo + chunk);
+      if (lo >= hi) break;
+      threads.emplace_back(rdoq_range, std::cref(tb), t.fdata.data(), idx.data(),
+                           lo, hi, lambda, out.idata.data());
+    }
+    for (auto &th : threads) th.join();
+    return save_tensor(argv[5], out) ? 0 : 1;
+  }
+
+  return usage();
+}

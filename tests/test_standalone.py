@@ -1,0 +1,151 @@
+"""Standalone C++ codec: pure-C++ encode/decode roundtrip against the
+Python/JAX tables, latent-statistics CDF extraction, RDOQ, and artifact
+export (SADL-path capability, SURVEY.md §2.4)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from cra5_tpu.standalone import (
+    build_codec_binary,
+    export_codec,
+    extract_cdf_from_latents,
+    load_tables_file,
+    read_tensor_file,
+    run_codec,
+    write_tables_file,
+    write_tensor_file,
+)
+
+pytestmark = pytest.mark.skipif(
+    build_codec_binary() is None, reason="g++ unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def latents():
+    rng = np.random.default_rng(0)
+    return (rng.normal(size=(4, 6, 8, 16)) * 3.0).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def table(latents):
+    return extract_cdf_from_latents(latents)
+
+
+def test_tables_file_roundtrip(table, tmp_path):
+    p = tmp_path / "t.bin"
+    write_tables_file(str(p), table)
+    t2 = load_tables_file(str(p))
+    np.testing.assert_array_equal(t2.quantized_cdf, table.quantized_cdf)
+    np.testing.assert_array_equal(t2.cdf_length, table.cdf_length)
+    np.testing.assert_array_equal(t2.offset, table.offset)
+    t2.validate()
+
+
+def test_tensor_file_roundtrip(tmp_path):
+    p = tmp_path / "x.bin"
+    arr = np.arange(24, dtype=np.int32).reshape(2, 3, 4)
+    write_tensor_file(str(p), arr)
+    np.testing.assert_array_equal(read_tensor_file(str(p)), arr)
+    f = (np.arange(6) / 3.0).astype(np.float32).reshape(2, 3)
+    write_tensor_file(str(p), f)
+    np.testing.assert_array_equal(read_tensor_file(str(p)), f)
+
+
+def test_cpp_roundtrip(latents, table, tmp_path):
+    """Encode with the standalone binary, decode with it, exact symbols."""
+    sym = np.round(latents[0]).astype(np.int32)  # (C, H, W)
+    tpath, xpath, bpath, opath = (
+        str(tmp_path / n) for n in ("t.bin", "x.bin", "s.bin", "o.bin")
+    )
+    write_tables_file(tpath, table)
+    write_tensor_file(xpath, sym)
+    run_codec("encode", tpath, xpath, bpath)
+    run_codec("decode", tpath, bpath, opath)
+    np.testing.assert_array_equal(read_tensor_file(opath), sym)
+
+
+def test_cpp_matches_python_coder(latents, table, tmp_path):
+    """Standalone streams decode with the in-process native coder too
+    (same rANS construction)."""
+    from cra5_tpu.coder import native
+
+    sym = np.round(latents[0]).astype(np.int32)
+    C = sym.shape[0]
+    idx = np.broadcast_to(np.arange(C, dtype=np.int32)[:, None, None], sym.shape).copy()
+
+    tpath, xpath, bpath = (str(tmp_path / n) for n in ("t.bin", "x.bin", "s.bin"))
+    write_tables_file(tpath, table)
+    write_tensor_file(xpath, sym)
+    run_codec("encode", tpath, xpath, bpath)
+    with open(bpath, "rb") as f:
+        raw = f.read()
+    # container: magic(4) ndim(4) dims(4*3) nbytes(4) payload
+    payload = raw[4 + 4 + 12 + 4 :]
+    decoded = native.decode_with_indexes(
+        payload, idx, table.quantized_cdf, table.cdf_length, table.offset
+    )
+    np.testing.assert_array_equal(decoded.reshape(sym.shape), sym)
+
+
+def test_rdoq(latents, table, tmp_path):
+    """RDOQ output stays within 1 of round() and strictly reduces the
+    rate at high lambda-inverse (it may equal round at high fidelity)."""
+    x = latents[0]
+    tpath, xpath, qpath, bpath, rpath = (
+        str(tmp_path / n) for n in ("t.bin", "xf.bin", "q.bin", "b1.bin", "b2.bin")
+    )
+    write_tables_file(tpath, table)
+    write_tensor_file(xpath, x.astype(np.float32))
+    run_codec("rdoq", tpath, xpath, "1000000", qpath)  # distortion-dominant
+    q_hi = read_tensor_file(qpath)
+    np.testing.assert_array_equal(q_hi, np.round(x).astype(np.int32))
+
+    run_codec("rdoq", tpath, xpath, "0.05", qpath)  # rate-dominant
+    q_lo = read_tensor_file(qpath)
+    assert np.all(np.abs(q_lo - np.round(x)) <= 1)
+
+    write_tensor_file(xpath, q_hi)
+    out1 = run_codec("encode", tpath, xpath, bpath)
+    write_tensor_file(xpath, q_lo)
+    out2 = run_codec("encode", tpath, xpath, rpath)
+    assert int(out2.stdout) <= int(out1.stdout)
+
+
+def test_extract_cdf_unseen_symbol_escapes(latents, table, tmp_path):
+    """Symbols outside the training histogram range must survive the
+    bypass escape path."""
+    sym = np.round(latents[0]).astype(np.int32)
+    sym[0, 0, 0] = 999  # far outside the per-channel range
+    sym[1, 0, 0] = -999
+    tpath, xpath, bpath, opath = (
+        str(tmp_path / n) for n in ("t.bin", "x.bin", "s.bin", "o.bin")
+    )
+    write_tables_file(tpath, table)
+    write_tensor_file(xpath, sym)
+    run_codec("encode", tpath, xpath, bpath)
+    run_codec("decode", tpath, bpath, opath)
+    np.testing.assert_array_equal(read_tensor_file(opath), sym)
+
+
+def test_export_codec(tmp_path):
+    from cra5_tpu.models import load_model
+
+    model, variables, codec = load_model(
+        "bmshj2018-hyperprior", 1, input_shape=(1, 3, 64, 64)
+    )
+    paths = export_codec(codec, str(tmp_path / "artifact"), params=variables["params"])
+    assert set(paths) == {"eb_tables", "gc_tables", "quantizers", "params"}
+    eb = load_tables_file(paths["eb_tables"])
+    eb.validate()
+    gc = load_tables_file(paths["gc_tables"])
+    gc.validate()
+    loaded = np.load(paths["params"])
+    assert any(k.startswith("g_a/") for k in loaded.files)
+
+
+def test_codec_bad_args():
+    with pytest.raises(subprocess.CalledProcessError):
+        run_codec("encode", "/nonexistent", "/nonexistent", "/tmp/x")
