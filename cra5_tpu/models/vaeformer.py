@@ -331,25 +331,26 @@ class VAEformerCodec:
         self._eb_table: Optional[CdfTable] = None
         self._gc_table: Optional[CdfTable] = None
 
+        cls = type(model)  # also hosts the baseline models (baseline.py)
         self._encode_symbols = jax.jit(
-            lambda v, x: model.apply(v, x, method=VAEformer.encode_symbols)
+            lambda v, x: model.apply(v, x, method=cls.encode_symbols)
         )
         self._symbols_from_latent = jax.jit(
-            lambda v, y: model.apply(v, y, method=VAEformer.symbols_from_latent)
+            lambda v, y: model.apply(v, y, method=cls.symbols_from_latent)
         )
         self._scales_from_z = jax.jit(
-            lambda v, z: model.apply(v, z, method=VAEformer.scales_from_z_symbols)
+            lambda v, z: model.apply(v, z, method=cls.scales_from_z_symbols)
         )
         self._reconstruct = jax.jit(
             lambda v, y_sym, means: model.apply(
-                v, y_sym, means, method=VAEformer.reconstruct_from_y_symbols
+                v, y_sym, means, method=cls.reconstruct_from_y_symbols
             )
         )
         self._encode_latent = jax.jit(
-            lambda v, x: model.apply(v, x, method=VAEformer.encode_latent)
+            lambda v, x: model.apply(v, x, method=cls.encode_latent)
         )
         self._decode_y = jax.jit(
-            lambda v, y: model.apply(v, y, method=VAEformer.decode_y)
+            lambda v, y: model.apply(v, y, method=cls.decode_y)
         )
         self._forward = jax.jit(
             lambda v, x: model.apply(v, x)

@@ -147,6 +147,39 @@ class subpel_conv3x3(nn.Module):
         return y.reshape(B, self.out_channels, H * r, W * r)
 
 
+@jax.custom_vjp
+def qrelu(x: jax.Array, bit_depth: int = 8, beta: int = 100) -> jax.Array:
+    """Clamped ReLU to [0, 2**bit_depth - 1] with a differentiable
+    relaxation outside the bounds (reference layers/layers.py:273 QReLU,
+    Chandrasekar et al.)."""
+    return jnp.clip(x, 0.0, 2.0 ** bit_depth - 1)
+
+
+def _qrelu_fwd(x, bit_depth=8, beta=100):
+    return qrelu(x, bit_depth, beta), (x, bit_depth, beta)
+
+
+def _qrelu_bwd(res, g):
+    x, bit_depth, beta = res
+    max_val = 2.0 ** bit_depth - 1
+    alpha = -0.9943258522851727  # ln(2)/beta-derived constant from the paper
+    inside = (x >= 0) & (x <= max_val)
+    grad_out = g * jnp.exp(alpha * jnp.abs(2.0 * x / max_val - 1.0) ** beta)
+    return (jnp.where(inside, g, grad_out), None, None)
+
+
+qrelu.defvjp(_qrelu_fwd, _qrelu_bwd)
+
+
+class QReLU(nn.Module):
+    bit_depth: int = 8
+    beta: int = 100
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return qrelu(x, self.bit_depth, self.beta)
+
+
 class ResidualBlock(nn.Module):
     out_channels: int
 
