@@ -17,8 +17,18 @@ import time
 import numpy as np
 
 
+def _t(label, t0):
+    print(f"[bench] {label}: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    return time.time()
+
+
 def main():
     import jax
+
+    # persistent compile cache: the 268v towers take minutes to compile cold
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from cra5_tpu.models import VAEformer, VAEformerCodec, vaeformer_268
@@ -32,18 +42,22 @@ def main():
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (1, cfg.in_chans, *cfg.img_size), jnp.float32)
     t0 = time.time()
-    variables = model.init(rng, x)
+    variables = jax.jit(model.init)(rng, x)
+    jax.block_until_ready(variables)
     init_s = time.time() - t0
+    t0 = _t("init", t0)
 
-    codec = VAEformerCodec(model, variables, coder="v2")
+    codec = VAEformerCodec(model, variables, coder=os.environ.get("BENCH_CODER", "v2"))
     codec.update()
+    t0 = _t("cdf tables", t0)
 
     # warmup (compilation)
-    t0 = time.time()
-    for _ in range(warmup):
+    for i in range(warmup):
         out = codec.compress(x)
+        t0 = _t(f"warmup compress {i}", t0)
         dec = codec.decompress(out["strings"], out["z_shape"])
         jax.block_until_ready(dec["x_hat"])
+        t0 = _t(f"warmup decompress {i}", t0)
     compile_s = time.time() - t0
 
     times = []
