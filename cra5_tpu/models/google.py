@@ -58,6 +58,8 @@ class _ConvStack(nn.Module):
                 x = nn.relu(x)
             elif kind == "lrelu":
                 x = nn.leaky_relu(x, negative_slope=0.01)
+            elif kind == "gelu":
+                x = nn.gelu(x, approximate=False)
             else:
                 raise ValueError(f"unknown layer kind {kind}")
         return x
