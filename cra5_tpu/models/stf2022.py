@@ -366,7 +366,7 @@ class CharmCodec:
 
         y_strings, z_strings = strings[0], strings[1]
         B = len(z_strings)
-        C = self.model.N
+        C = getattr(self.model, "hyper_channels", self.model.N)
         full_z = (B, C, int(shape[0]), int(shape[1]))
         z_idx = np.broadcast_to(np.arange(C, dtype=np.int32)[None, :, None, None], full_z)
         z_sym = np.stack(
