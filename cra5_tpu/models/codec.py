@@ -377,6 +377,15 @@ class AutoregressiveCodec(_CodecBase):
 
 def make_codec(model, variables, coder: str = "v2", scale_table=None):
     """Pick the right codec for a zoo model."""
-    if getattr(model, "CODEC_KIND", "hyper") == "autoregressive":
+    kind = getattr(model, "CODEC_KIND", "hyper")
+    if kind == "autoregressive":
         return AutoregressiveCodec(model, variables, scale_table=scale_table)
+    if kind == "elic":
+        from .elic2022 import ElicCodec
+
+        return ElicCodec(model, variables, scale_table=scale_table)
+    if kind == "charm":
+        from .stf2022 import CharmCodec
+
+        return CharmCodec(model, variables, scale_table=scale_table)
     return ImageCodec(model, variables, coder=coder, scale_table=scale_table)

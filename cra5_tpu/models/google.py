@@ -293,6 +293,85 @@ class MeanScaleHyperprior(ScaleHyperprior):
         return scales, means
 
 
+class SampledYInBmshj2018(MeanScaleHyperprior):
+    """Sampled-y ablation (reference models/ablate_sampley.py:68): g_a
+    emits 2M moments and y is a VAE posterior sample (train) / mode
+    (inference); entropy side is the mean-scale hyperprior."""
+
+    sample_posterior: bool = True
+
+    def _build_g(self):
+        N, M, C = self.N, self.M, self.in_channel
+        out = 2 * M if self.sample_posterior else M
+        self.g_a = _ConvStack(
+            (
+                ("conv", N, 5, 2), ("gdn", N),
+                ("conv", N, 5, 2), ("gdn", N),
+                ("conv", N, 5, 2), ("gdn", N),
+                ("conv", out, 5, 2),
+            ),
+            name="g_a",
+        )
+        self.g_s = _ConvStack(
+            (
+                ("deconv", N, 5, 2), ("igdn", N),
+                ("deconv", N, 5, 2), ("igdn", N),
+                ("deconv", N, 5, 2), ("igdn", N),
+                ("deconv", C, 5, 2),
+            ),
+            name="g_s",
+        )
+
+    def _posterior_y(self, moments: jax.Array, rng: Optional[jax.Array]):
+        if not self.sample_posterior:
+            return moments, None
+        from .vaeformer import DiagonalGaussian
+
+        posterior = DiagonalGaussian(moments)
+        if rng is not None:
+            return posterior.sample(rng), posterior
+        return posterior.mode(), posterior
+
+    def __call__(
+        self, x: jax.Array, training: bool = False, rng: Optional[jax.Array] = None
+    ) -> Dict[str, Any]:
+        rngs = (
+            dict(zip(("post", "eb", "gc"), jax.random.split(rng, 3)))
+            if rng is not None
+            else {}
+        )
+        moments = self.g_a(x)
+        y, posterior = self._posterior_y(moments, rngs.get("post"))
+        z = self.h_a(self._hyper_input(y))
+        z_hat, z_likelihoods = self.entropy_bottleneck(
+            z, training=training, rng=rngs.get("eb")
+        )
+        scales, means = self._gaussian_params(z_hat)
+        y_hat, y_likelihoods = self.gaussian_conditional(
+            y, scales, means=means, training=training, rng=rngs.get("gc")
+        )
+        x_hat = self.g_s(y_hat)
+        out = {"x_hat": x_hat, "likelihoods": {"y": y_likelihoods, "z": z_likelihoods}}
+        if posterior is not None:
+            out["kl"] = posterior.kl()
+        return out
+
+    def encode_symbols(self, x: jax.Array) -> Dict[str, Any]:
+        # deterministic inference path: posterior mode
+        moments = self.g_a(x)
+        y, _ = self._posterior_y(moments, None)
+        z = self.h_a(self._hyper_input(y))
+        medians = self.entropy_bottleneck.medians().reshape(1, -1, 1, 1)
+        z_sym = jnp.round(z - medians).astype(jnp.int32)
+        z_hat = z_sym.astype(z.dtype) + medians
+        scales, means = self._gaussian_params(z_hat)
+        y_sym = jnp.round(y - means).astype(jnp.int32)
+        return {
+            "y_sym": y_sym, "z_sym": z_sym, "scales": scales,
+            "means": means, "z_shape": z.shape[-2:],
+        }
+
+
 class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
     """mbt2018: mean-scale hyperprior + PixelCNN spatial context model
     (reference google.py:508). Training forward is fully parallel (the

@@ -18,13 +18,18 @@ import jax
 import jax.numpy as jnp
 
 from .codec import make_codec
+from .elic2022 import ELIC2022
 from .google import (
     FactorizedPrior,
     FactorizedPriorReLU,
     JointAutoregressiveHierarchicalPriors,
     MeanScaleHyperprior,
+    SampledYInBmshj2018,
     ScaleHyperprior,
 )
+from .inv2021 import InvCompress
+from .stf2022 import SymmetricalTransFormer2022
+from .tcm2023 import TCM2023
 from .vaeformer import VAEformer, vaeformer_268
 from .waseda import Cheng2020Anchor, Cheng2020Attention
 
@@ -36,6 +41,11 @@ model_architectures: Dict[str, Any] = {
     "mbt2018": JointAutoregressiveHierarchicalPriors,
     "cheng2020-anchor": Cheng2020Anchor,
     "cheng2020-attn": Cheng2020Attention,
+    "elic2022": ELIC2022,
+    "stf": SymmetricalTransFormer2022,
+    "tcm2023": TCM2023,
+    "invcompress": InvCompress,
+    "sampled-y-bmshj2018": SampledYInBmshj2018,
 }
 
 # quality -> constructor args (reference zoo/image.py:202-270)
@@ -52,6 +62,11 @@ cfgs: Dict[str, Dict[int, Tuple[int, ...]]] = {
     "mbt2018": _NM8_MBT,
     "cheng2020-anchor": _N6_CHENG,
     "cheng2020-attn": _N6_CHENG,
+    "elic2022": {q: (192, 320) for q in range(1, 7)},
+    "stf": {q: (48,) for q in range(1, 7)},  # embed_dim
+    "tcm2023": {q: (128, 320) for q in range(1, 7)},
+    "invcompress": {q: (128,) if q <= 3 else (192,) for q in range(1, 7)},
+    "sampled-y-bmshj2018": {q: (192, 320) for q in range(1, 7)},
     "vaeformer-pretrained": {268: (268,)},
 }
 
@@ -71,8 +86,10 @@ def create_model(
         raise ValueError(f'Invalid quality value "{quality}"')
     args = cfgs[architecture][quality]
     cls = model_architectures[architecture]
-    if architecture.startswith("cheng2020"):
+    if architecture.startswith("cheng2020") or architecture == "invcompress":
         return cls(N=args[0], M=args[0], in_channel=in_channel, **kwargs)
+    if architecture == "stf":
+        return cls(embed_dim=args[0], in_channel=in_channel, **kwargs)
     return cls(N=args[0], M=args[1], in_channel=in_channel, **kwargs)
 
 
