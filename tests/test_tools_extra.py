@@ -1,0 +1,102 @@
+"""Video eval, ERA5 JPEG2000 baseline, recompression fan-out, profiling."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+
+def test_era5_jpeg2000_tool(tmp_path, capsys):
+    from cra5_tpu.tools import era5_jpeg2000
+
+    # smooth fields so the J2K rate control has room (random noise pins it)
+    rng = np.random.default_rng(0)
+    xx, yy = np.meshgrid(np.linspace(0, 4, 128), np.linspace(0, 4, 128))
+    data = np.stack(
+        [np.sin(xx * (c + 1)) * np.cos(yy) + 0.05 * rng.normal(size=xx.shape) for c in range(3)]
+    ).astype(np.float32)
+    path = tmp_path / "ts.npy"
+    np.save(path, data)
+    rc = era5_jpeg2000.main([str(path), "-q", "5", "80"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    mses = out["results"]["mse"]
+    bpsps = out["results"]["bpsp"]
+    assert len(mses) == 2
+    # higher compression ratio (rate param) -> fewer bits, more error
+    assert bpsps[1] < bpsps[0]
+    assert mses[1] >= mses[0]
+
+
+def test_era5_jpeg2000_roundtrip_monotone():
+    from cra5_tpu.tools.era5_jpeg2000 import compress_channel, decompress_channel
+
+    rng = np.random.default_rng(1)
+    chan = rng.normal(size=(64, 64)).astype(np.float32)
+    stream, shift, scale = compress_channel(chan, 5.0)
+    rec = decompress_channel(stream, shift, scale)
+    assert rec.shape == chan.shape
+    assert float(np.mean((rec - chan) ** 2)) < float(np.var(chan))
+
+
+@pytest.mark.slow
+def test_video_eval_tool(tmp_path, capsys):
+    from PIL import Image
+
+    from cra5_tpu.tools import video_eval
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "train" / "clip0"
+    d.mkdir(parents=True)
+    for f in range(3):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            d / f"f{f}.png"
+        )
+    rc = video_eval.main(
+        [str(tmp_path), "--frames", "3", "--planes", "8", "--mid-planes", "8",
+         "--num-levels", "2"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["results"]["bpp"][0] > 0
+
+
+@pytest.mark.slow
+def test_recompress_fanout(tmp_path, capsys):
+    from cra5_tpu.api.bitstream import load_bin
+    from cra5_tpu.tools import recompress
+
+    rng = np.random.default_rng(0)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(3):  # 3 inputs over 8 devices exercises padding
+        np.save(indir / f"ts{i}.npy", rng.normal(size=(8, 41, 40)).astype(np.float32))
+    outdir = tmp_path / "out"
+    rc = recompress.main([str(indir), "-o", str(outdir), "--config", "tiny"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["recompressed"] == 3
+    bins = sorted(outdir.glob("*.bin"))
+    assert len(bins) == 3
+    strings, z_shape = load_bin(str(bins[0]))
+    assert len(strings) == 2 and len(strings[0][0]) > 0
+
+
+def test_timings_and_profiler_noop():
+    import jax.numpy as jnp
+
+    from cra5_tpu.utils.profiling import Timings, annotate, profile_trace
+
+    t = Timings()
+    with t.span("phase"):
+        x = jnp.ones(8) * 2
+    with t.span("phase2", block_on=x):
+        pass
+    d = t.as_dict()
+    assert set(d) == {"phase", "phase2"} and all(v >= 0 for v in d.values())
+
+    with profile_trace(None):
+        pass
+    with annotate("region"):
+        pass
