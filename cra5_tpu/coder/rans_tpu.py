@@ -210,6 +210,8 @@ class LaneCoder:
 
         grid = lambda a: jnp.asarray(a.reshape(M, K))
         x_final, emit, words = _encode_scan(grid(bins), grid(starts), grid(freqs), M)
+        # one bulk D2H: per-array transfers pay tunnel latency each
+        x_final, emit, words = jax.device_get((x_final, emit, words))
         emit = np.asarray(emit)
         words = np.asarray(words)
         states = np.asarray(x_final, dtype=np.uint32)
@@ -256,6 +258,7 @@ class LaneCoder:
             M,
             self._search_iters,
         )
+        values, sentinel = jax.device_get((values, sentinel))
         out = np.asarray(values).reshape(-1)[:n].copy()
         sent = np.asarray(sentinel).reshape(-1)[:n]
         n_sent = int(sent.sum())

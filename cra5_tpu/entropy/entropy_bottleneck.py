@@ -159,7 +159,10 @@ def eb_params_from_variables(variables: dict, prefix: str = "") -> dict:
     if prefix:
         for part in prefix.split("/"):
             params = params[part]
-    return {k: np.asarray(v) for k, v in params.items()}
+    # one bulk transfer: per-leaf np.asarray would pay the device->host
+    # round-trip latency once per leaf (severe on tunneled TPU backends)
+    host = jax.device_get(dict(params))
+    return {k: np.asarray(v) for k, v in host.items()}
 
 
 def eb_update(params: dict, filters: Tuple[int, ...] = (3, 3, 3, 3), precision: int = 16) -> CdfTable:

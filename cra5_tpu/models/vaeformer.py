@@ -426,14 +426,15 @@ class VAEformerCodec:
         return self._compress_symbols(out)
 
     def _compress_symbols(self, out) -> Dict[str, Any]:
-        z_sym = np.asarray(out["z_sym"])
-        y_sym = np.asarray(out["y_sym"])
-        scales = np.asarray(out["scales"], np.float32)
-
-        z_idx = self._z_indexes(z_sym.shape)
-        gc_idx = np.asarray(
-            build_indexes(jnp.asarray(scales), jnp.asarray(self.scale_table))
+        # one bulk D2H (per-array transfers pay tunnel latency each)
+        gc_idx_dev = build_indexes(
+            jnp.asarray(out["scales"], jnp.float32), jnp.asarray(self.scale_table)
         )
+        z_sym, y_sym, gc_idx = jax.device_get((out["z_sym"], out["y_sym"], gc_idx_dev))
+        z_sym = np.asarray(z_sym)
+        y_sym = np.asarray(y_sym)
+        gc_idx = np.asarray(gc_idx)
+        z_idx = self._z_indexes(z_sym.shape)
 
         z_strings = [
             self._encode_stream(self._eb_table, getattr(self, "_eb_coder", None), z_sym[i], z_idx[i])
