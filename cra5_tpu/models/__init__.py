@@ -12,6 +12,7 @@ from .google import (
     ScaleHyperprior,
     MeanScaleHyperprior,
     JointAutoregressiveHierarchicalPriors,
+    SampledYInBmshj2018,
 )
 from .waseda import Cheng2020Anchor, Cheng2020Attention
 from .codec import ImageCodec, AutoregressiveCodec, make_codec
@@ -29,6 +30,7 @@ __all__ = [
     "ScaleHyperprior",
     "MeanScaleHyperprior",
     "JointAutoregressiveHierarchicalPriors",
+    "SampledYInBmshj2018",
     "Cheng2020Anchor",
     "Cheng2020Attention",
     "ImageCodec",

@@ -1,0 +1,61 @@
+"""Config-driven training CLI + registry population."""
+
+import jax
+import numpy as np
+import pytest
+
+
+def test_registries_populated():
+    from cra5_tpu.registry import CRITERIONS, DATASETS, MODELS, OPTIMIZERS
+
+    assert "VAEformer" in MODELS
+    assert "ELIC2022" in MODELS and "TCM2023" in MODELS
+    assert "ERA5NpyDataset" in DATASETS and "ImageFolder" in DATASETS
+    assert "RateDistortionLoss" in CRITERIONS
+    assert "net_aux" in OPTIMIZERS
+    # idempotent re-import
+    import importlib
+
+    import cra5_tpu.registry as r
+
+    importlib.reload(r)
+
+
+def test_registry_build():
+    from cra5_tpu.registry import MODELS
+
+    model = MODELS.build({"type": "FactorizedPrior", "N": 8, "M": 12})
+    assert model.N == 8
+    with pytest.raises(KeyError):
+        MODELS.get("nope")
+
+
+@pytest.mark.slow
+def test_train_cli_synthetic(tmp_path, capsys):
+    from cra5_tpu.tools import train as train_cli
+
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "model = dict(type='VAEformer', cfg='tiny')\n"
+        "dataset = dict(type='synthetic', shape=(2, 8, 41, 40), batch_size=2)\n"
+        "trainer = dict(use_ema=False, log_every=2, ckpt_every=10**9)\n"
+        "steps = 3\n"
+    )
+    rc = train_cli.main([str(cfg), "--ckpt-dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert out.endswith(".msgpack")
+    import os
+
+    assert os.path.exists(out)
+
+
+def test_train_cli_config_mesh(tmp_path):
+    from cra5_tpu.tools.train import build_model
+    from cra5_tpu.utils.config import Config
+
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text("model = dict(type='FactorizedPrior', N=8, M=12)\n")
+    c = Config.fromfile(str(cfg))
+    model = build_model(c["model"])
+    assert model.M == 12
