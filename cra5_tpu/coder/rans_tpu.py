@@ -51,37 +51,50 @@ def _padded_search_table(table: CdfTable) -> np.ndarray:
 
 
 def _zigzag_varint_encode(values: np.ndarray) -> bytes:
-    """LEB128 varints of zigzag-mapped int32s (escape side channel)."""
-    out = bytearray()
-    for v in values.tolist():
-        u = (v << 1) ^ (v >> 31) if v >= 0 else ((-v - 1) << 1) | 1
-        u &= 0xFFFFFFFF
-        while True:
-            b = u & 0x7F
-            u >>= 7
-            if u:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+    """LEB128 varints of zigzag-mapped int32s (escape side channel).
+    Fully vectorized: untrained/low-quality models can escape millions of
+    symbols and a Python loop here dominates the roundtrip."""
+    if values.size == 0:
+        return b""
+    v = values.astype(np.int64)
+    u = np.where(v >= 0, v << 1, ((-v - 1) << 1) | 1).astype(np.uint64)
+    nbytes = np.ones(u.shape, np.int64)
+    for k in range(1, 5):
+        nbytes += (u >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    total = int(nbytes.sum())
+    out = np.zeros(total, np.uint8)
+    pos = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
+    for k in range(5):
+        mask = nbytes > k
+        if not mask.any():
+            break
+        byte = ((u[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8)
+        out[pos[mask] + k] = byte | (cont << 7)
+    return out.tobytes()
 
 
 def _zigzag_varint_decode(data: bytes, count: int) -> np.ndarray:
-    vals = np.empty(count, dtype=np.int32)
-    pos = 0
-    for i in range(count):
-        u = 0
-        shift = 0
-        while True:
-            b = data[pos]
-            pos += 1
-            u |= (b & 0x7F) << shift
-            if not (b & 0x80):
-                break
-            shift += 7
-        vals[i] = (u >> 1) if not (u & 1) else -((u >> 1) + 1)
-    return vals
+    if count == 0:
+        return np.zeros(0, np.int32)
+    b = np.frombuffer(data, np.uint8)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    if ends.size < count:
+        raise ValueError("truncated escape side channel")
+    ends = ends[:count]
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    u = np.zeros(count, np.uint64)
+    for k in range(5):
+        idx = starts + k
+        valid = idx <= ends
+        if not valid.any():
+            break
+        u[valid] |= (b[idx[valid]].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+    return np.where(
+        u & np.uint64(1),
+        -((u >> np.uint64(1)).astype(np.int64)) - 1,
+        (u >> np.uint64(1)).astype(np.int64),
+    ).astype(np.int32)
 
 
 def default_num_lanes(n_symbols: int) -> int:
