@@ -100,3 +100,23 @@ def test_timings_and_profiler_noop():
         pass
     with annotate("region"):
         pass
+
+
+def test_era5_eval_tool(tmp_path, capsys):
+    from cra5_tpu.tools import era5_eval
+
+    rng = np.random.default_rng(0)
+    target = rng.normal(size=(3, 32, 64)).astype(np.float32)
+    recon = target + 0.1 * rng.normal(size=target.shape).astype(np.float32)
+    np.save(tmp_path / "r.npy", recon)
+    np.save(tmp_path / "t.npy", target)
+    rc = era5_eval.main([str(tmp_path / "r.npy"), str(tmp_path / "t.npy")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert 0.05 < out["mean_wrmse"] < 0.2
+    assert set(out["wrmse"]) == {"ch0", "ch1", "ch2"}
+    # perfect reconstruction scores ~0
+    from cra5_tpu.tools.era5_eval import evaluate_fields
+
+    perfect = evaluate_fields(target, target)
+    assert perfect["mean_wrmse"] < 1e-6
