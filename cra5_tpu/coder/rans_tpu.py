@@ -133,10 +133,13 @@ def _encode_scan(bins, starts, freqs, num_steps):
     return x_final, emit, words
 
 
-@functools.partial(jax.jit, static_argnames=("num_steps", "search_iters"))
-def _decode_scan(indexes, states, stream, cdf_flat, cdf_len, offsets, max_len,
-                 num_steps, search_iters):
-    """indexes: (M, K) int32; states: (K,) uint32; stream: (n_words,) uint16.
+@functools.partial(jax.jit, static_argnames=("num_steps",))
+def _decode_scan(indexes, states, stream, cdf_flat, sym_lut, max_values,
+                 offsets, max_len, num_steps):
+    """indexes: (M, K) int32; states: (K,) uint32; stream: (n_words,) uint16;
+    sym_lut: (ncdfs * 2**PRECISION,) int32 dense cum -> bin lookup (one
+    gather replaces the reference's linear scan / a 12-probe binary
+    search — SURVEY.md §7 hard part 7).
     Returns (values (M, K) int32, sentinel (M, K) bool)."""
     K = indexes.shape[1]
 
@@ -145,16 +148,7 @@ def _decode_scan(indexes, states, stream, cdf_flat, cdf_len, offsets, max_len,
         cum = (x & 0xFFFF).astype(jnp.int32)
         row0 = idx * max_len
 
-        # binary search: last bin with cdf[bin] <= cum
-        lo = jnp.zeros((K,), jnp.int32)
-        hi = cdf_len[idx] - 1
-        for _ in range(search_iters):
-            mid = (lo + hi) >> 1
-            v = cdf_flat[row0 + mid]
-            go_lo = v <= cum
-            lo = jnp.where(go_lo, mid, lo)
-            hi = jnp.where(go_lo, hi, mid)
-        s = lo
+        s = sym_lut[(idx << PRECISION) + cum].astype(jnp.int32)
         start = cdf_flat[row0 + s]
         freq = (cdf_flat[row0 + s + 1] - start).astype(jnp.uint32)
 
@@ -167,8 +161,7 @@ def _decode_scan(indexes, states, stream, cdf_flat, cdf_len, offsets, max_len,
         x = jnp.where(refill, (x << PRECISION) | w, x)
         ptr = ptr + jnp.sum(refill.astype(jnp.int32))
 
-        max_value = cdf_len[idx] - 2
-        sentinel = s == max_value
+        sentinel = s == max_values[idx]
         value = s + offsets[idx]
         return (x, ptr), (value, sentinel)
 
@@ -186,10 +179,24 @@ class LaneCoder:
         self.num_lanes = num_lanes
         self._search = _padded_search_table(table)
         self._cdf_flat = jnp.asarray(self._search.reshape(-1))
-        self._cdf_len = jnp.asarray(table.cdf_length.astype(np.int32))
+        self._max_values = jnp.asarray((table.cdf_length - 2).astype(np.int32))
         self._offsets = jnp.asarray(table.offset.astype(np.int32))
         self._max_len = int(self._search.shape[1])
-        self._search_iters = max(1, int(np.ceil(np.log2(self._max_len))))
+        self._sym_lut = None  # dense cum -> bin lookup, built on first decode
+
+    def _decode_lut(self):
+        """(ncdfs, 2**PRECISION) int16: bin of each cum value — one gather
+        per decoded symbol instead of a binary search."""
+        if self._sym_lut is None:
+            n = self.table.num_indexes
+            lut = np.empty((n, 1 << PRECISION), np.int16)
+            cums = np.arange(1 << PRECISION, dtype=np.int32)
+            for k in range(n):
+                L = int(self.table.cdf_length[k])
+                row = self.table.quantized_cdf[k, :L]
+                lut[k] = (np.searchsorted(row, cums, side="right") - 1).astype(np.int16)
+            self._sym_lut = jnp.asarray(lut.reshape(-1))
+        return self._sym_lut
 
     # -- encode -----------------------------------------------------------
     def encode(self, symbols: np.ndarray, indexes: np.ndarray) -> bytes:
@@ -267,11 +274,11 @@ class LaneCoder:
             jnp.asarray(states),
             jnp.asarray(stream.astype(np.uint16)),
             self._cdf_flat,
-            self._cdf_len,
+            self._decode_lut(),
+            self._max_values,
             self._offsets,
             self._max_len,
             M,
-            self._search_iters,
         )
         values, sentinel = jax.device_get((values, sentinel))
         out = np.asarray(values).reshape(-1)[:n].copy()
