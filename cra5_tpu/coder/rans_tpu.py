@@ -107,28 +107,59 @@ def default_num_lanes(n_symbols: int) -> int:
     return k
 
 
+def _mulhi32(a: jax.Array, b: jax.Array) -> jax.Array:
+    """High 32 bits of a 32x32 unsigned multiply via 16-bit partials
+    (TPU has no 64-bit integer multiply)."""
+    mask = jnp.uint32(0xFFFF)
+    ah, al = a >> 16, a & mask
+    bh, bl = b >> 16, b & mask
+    albl = al * bl
+    mid1 = ah * bl
+    mid = mid1 + al * bh  # may wrap mod 2**32
+    carry = (mid < mid1).astype(jnp.uint32)
+    t = (albl >> 16) + (mid & mask)
+    return ah * bh + (mid >> 16) + (carry << 16) + (t >> 16)
+
+
+def _division_magic(freqs: np.ndarray):
+    """Granlund-Montgomery branchfree u32 division-by-invariant constants:
+    q = (mulhi(m, x) + ((x - mulhi(m, x)) >> 1)) >> (l - 1) for f >= 2;
+    f == 1 short-circuits to q = x. Integer division dominates the encode
+    scan on TPU (no hardware integer divide), so the quotient becomes a
+    dozen vector ops."""
+    f = freqs.astype(np.uint64)
+    l = np.ceil(np.log2(np.maximum(f, 1).astype(np.float64))).astype(np.int64)
+    l = np.maximum(l, 1)
+    m = (((np.uint64(1) << np.uint64(32)) * ((np.uint64(1) << l.astype(np.uint64)) - f)) // np.maximum(f, 1) + 1).astype(np.uint32)
+    shift = (l - 1).astype(np.int32)
+    return m, shift
+
+
 @functools.partial(jax.jit, static_argnames=("num_steps",))
-def _encode_scan(bins, starts, freqs, num_steps):
-    """bins/starts/freqs: (M, K) int32 in step-major order. Returns
-    (final_states (K,) uint32, emit (M, K) bool, words (M, K) uint16)."""
+def _encode_scan(bins, starts, freqs, magic_m, magic_s, num_steps):
+    """bins/starts/freqs: (M, K) int32 in step-major order; magic_m/_s:
+    per-symbol division constants. Returns (final_states (K,) uint32,
+    emit (M, K) bool, words (M, K) uint16)."""
     K = bins.shape[1]
     x0 = jnp.full((K,), _LANE_L, dtype=jnp.uint32)
 
     def step(x, inputs):
-        start, freq = inputs
+        start, freq, m, s = inputs
         freq_u = freq.astype(jnp.uint32)
         x_max = freq_u << PRECISION
         emit = x >= x_max
         word = (x & 0xFFFF).astype(jnp.uint16)
         x = jnp.where(emit, x >> PRECISION, x)
-        q = x // freq_u
+        q0 = _mulhi32(m, x)
+        q = (((x - q0) >> 1) + q0) >> s.astype(jnp.uint32)
+        q = jnp.where(freq_u == 1, x, q)
         r = x - q * freq_u
         x = (q << PRECISION) + r + start.astype(jnp.uint32)
         return x, (emit, word)
 
     # encode walks steps in reverse (LIFO); scan with reverse=True keeps the
     # outputs indexed by step t.
-    xs = (starts, freqs)
+    xs = (starts, freqs, magic_m, magic_s)
     x_final, (emit, words) = jax.lax.scan(step, x0, xs, length=num_steps, reverse=True)
     return x_final, emit, words
 
@@ -231,7 +262,13 @@ class LaneCoder:
         freqs = (cdf[indexes_p, bins + 1] - starts).astype(np.int32)
 
         grid = lambda a: jnp.asarray(a.reshape(M, K))
-        x_final, emit, words = _encode_scan(grid(bins), grid(starts), grid(freqs), M)
+        magic_m, magic_s = _division_magic(freqs)
+        x_final, emit, words = _encode_scan(
+            grid(bins), grid(starts), grid(freqs),
+            jnp.asarray(magic_m.reshape(M, K)),
+            jnp.asarray(magic_s.reshape(M, K)),
+            M,
+        )
         # one bulk D2H: per-array transfers pay tunnel latency each
         x_final, emit, words = jax.device_get((x_final, emit, words))
         emit = np.asarray(emit)
