@@ -134,7 +134,14 @@ def inference_entropy_estimation(codec, x: np.ndarray, min_div: int, is_image: b
     }
 
 
-def eval_model(codec, files: List[Path], entropy_estimation: bool, min_div: int) -> Dict[str, float]:
+def eval_model(
+    codec,
+    files: List[Path],
+    entropy_estimation: bool,
+    min_div: int,
+    per_image_dir: Optional[str] = None,
+    trained_net: str = "model",
+) -> Dict[str, float]:
     totals: Dict[str, float] = defaultdict(float)
     for f in files:
         x = read_input(f)
@@ -146,6 +153,14 @@ def eval_model(codec, files: List[Path], entropy_estimation: bool, min_div: int)
         )
         for k, v in rv.items():
             totals[k] += v
+        if per_image_dir:
+            # per-image JSON (reference eval_model --per-image,
+            # __main__.py:206-221)
+            out = Path(per_image_dir) / f"{f.stem}-{trained_net}.json"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(
+                json.dumps({"source": f.stem, "name": trained_net, "results": rv}, indent=2)
+            )
     return {k: v / len(files) for k, v in totals.items()}
 
 
@@ -163,6 +178,8 @@ def main(argv=None):
                         help="converted msgpack checkpoint (else random init)")
     parser.add_argument("--in-channel", type=int, default=3)
     parser.add_argument("--min-div", type=int, default=64)
+    parser.add_argument("--per-image", type=str, default=None,
+                        help="directory for per-image result JSONs")
     parser.add_argument("-o", "--output", type=str, default=None)
     args = parser.parse_args(argv)
 
