@@ -201,6 +201,52 @@ def _decode_scan(indexes, states, stream, cdf_flat, sym_lut, max_values,
     return values, sentinel
 
 
+@functools.partial(jax.jit, static_argnames=("max_len", "M", "K"))
+def _encode_device(symbols, indexes, cdf_flat, offsets, max_values,
+                   magic_m_flat, magic_s_flat, max_len, M, K):
+    """Fully on-device encode: symbol prep (escape mapping, cdf/magic
+    gathers), the rANS scan, and compaction of the emitted words and
+    escape values — only count-sized buffers cross to the host.
+    symbols/indexes: flat (M*K,) int32 (pre-padded)."""
+    v = symbols - offsets[indexes]
+    mv = max_values[indexes]
+    escape = (v < 0) | (v >= mv)
+    bins = jnp.where(escape, mv, v)
+    row0 = indexes * max_len
+    starts = cdf_flat[row0 + bins]
+    freqs = cdf_flat[row0 + bins + 1] - starts
+    m = magic_m_flat[row0 + bins]
+    s = magic_s_flat[row0 + bins]
+
+    grid = lambda a: a.reshape(M, K)
+    x_final, emit, words = _encode_scan(
+        grid(bins), grid(starts), grid(freqs), grid(m), grid(s.astype(jnp.int32)), M
+    )
+
+    emit_flat = emit.reshape(-1)
+    n_words = jnp.sum(emit_flat.astype(jnp.int32))
+    word_pos = jnp.cumsum(emit_flat.astype(jnp.int32)) - 1
+    stream_buf = jnp.zeros(M * K, jnp.uint16)
+    stream_buf = stream_buf.at[jnp.where(emit_flat, word_pos, M * K)].set(
+        words.reshape(-1), mode="drop"
+    )
+
+    n_esc = jnp.sum(escape.astype(jnp.int32))
+    esc_rank = jnp.cumsum(escape.astype(jnp.int32)) - 1
+    esc_buf = jnp.zeros(M * K, jnp.int32)
+    esc_buf = esc_buf.at[jnp.where(escape, esc_rank, M * K)].set(symbols, mode="drop")
+
+    return x_final, stream_buf, esc_buf, n_words, n_esc
+
+
+def _bucket(n: int) -> int:
+    """Next power of two (caps the number of distinct transfer shapes)."""
+    k = 1
+    while k < n:
+        k *= 2
+    return k
+
+
 class LaneCoder:
     """Encode/decode int32 symbol tensors against a CdfTable using the
     interleaved-lane rANS (format v2)."""
@@ -214,6 +260,21 @@ class LaneCoder:
         self._offsets = jnp.asarray(table.offset.astype(np.int32))
         self._max_len = int(self._search.shape[1])
         self._sym_lut = None  # dense cum -> bin lookup, built on first decode
+        self._magic = None  # per-(index, bin) division constants
+
+    def _magic_tables(self):
+        if self._magic is None:
+            cdf = self._search
+            freqs = np.maximum(cdf[:, 1:] - cdf[:, :-1], 1)
+            m, s = _division_magic(freqs.reshape(-1))
+            pad = lambda a, fill: np.concatenate(
+                [a.reshape(freqs.shape), np.full((freqs.shape[0], 1), fill, a.dtype)], axis=1
+            ).reshape(-1)
+            self._magic = (
+                jnp.asarray(pad(m, np.uint32(0))),
+                jnp.asarray(pad(s, np.int32(0))),
+            )
+        return self._magic
 
     def _decode_lut(self):
         """(ncdfs, 2**PRECISION) int16: bin of each cum value — one gather
@@ -283,6 +344,98 @@ class LaneCoder:
             stream.astype("<u2").tobytes(),
             _zigzag_varint_encode(esc_val),
         ])
+
+    # -- device-resident paths ---------------------------------------------
+    def encode_from_device(self, symbols, indexes) -> bytes:
+        """Encode device-resident int32 symbols/indexes: prep, scan, and
+        compaction all run on device; only the compacted stream (bucketed
+        to power-of-two lengths so transfer shapes stay cached) and two
+        scalar counts cross to the host."""
+        n = int(np.prod(symbols.shape))
+        if n == 0:
+            return struct.pack("<IIIII", MAGIC, 0, 1, 0, 0) + struct.pack("<I", 1 << 16)
+        K = self.num_lanes or default_num_lanes(n)
+        M = -(-n // K)
+        pad = M * K - n
+        sym_flat = jnp.ravel(symbols).astype(jnp.int32)
+        idx_flat = jnp.ravel(indexes).astype(jnp.int32)
+        if pad:
+            sym_flat = jnp.pad(sym_flat, (0, pad))
+            idx_flat = jnp.pad(idx_flat, (0, pad))
+        # padding symbols must be in-range for index 0 so they don't escape
+        if pad:
+            base = self._offsets[0]
+            sym_flat = sym_flat.at[n:].set(base)
+
+        magic_m, magic_s = self._magic_tables()
+        x_final, stream_buf, esc_buf, n_words, n_esc = _encode_device(
+            sym_flat, idx_flat, self._cdf_flat, self._offsets, self._max_values,
+            magic_m, magic_s, self._max_len, M, K,
+        )
+        nw, ne = jax.device_get((n_words, n_esc))
+        nw, ne = int(nw), int(ne)
+        states, stream, escs = jax.device_get(
+            (
+                x_final,
+                jax.lax.slice(stream_buf, (0,), (min(_bucket(max(nw, 1)), M * K),)),
+                jax.lax.slice(esc_buf, (0,), (min(_bucket(max(ne, 1)), M * K),)),
+            )
+        )
+        stream = np.asarray(stream[:nw], np.uint16)
+        esc_val = np.asarray(escs[:ne], np.int32)
+        header = struct.pack("<IIIII", MAGIC, n, K, ne, nw)
+        return b"".join([
+            header,
+            np.asarray(states, np.uint32).astype("<u4").tobytes(),
+            stream.astype("<u2").tobytes(),
+            _zigzag_varint_encode(esc_val),
+        ])
+
+    def decode_to_device(self, data: bytes, indexes) -> jax.Array:
+        """Decode a v2 stream against device-resident indexes; the decoded
+        int32 symbols stay on device (feed them straight into the
+        synthesis transform). Escape values are scattered on device."""
+        idx_shape = indexes.shape
+        idx_flat = jnp.ravel(indexes).astype(jnp.int32)
+        magic, n, K, n_esc, n_words = struct.unpack_from("<IIIII", data, 0)
+        if magic != MAGIC:
+            raise ValueError("not a CRX2 (format v2) stream")
+        if n != idx_flat.shape[0]:
+            raise ValueError(f"symbol count mismatch: stream {n}, indexes {idx_flat.shape[0]}")
+        off = 20
+        states = np.frombuffer(data, "<u4", K, off).copy(); off += 4 * K
+        stream = np.frombuffer(data, "<u2", n_words, off).copy(); off += 2 * n_words
+        esc_val = _zigzag_varint_decode(data[off:], n_esc)
+        if n == 0:
+            return jnp.zeros(idx_shape, jnp.int32)
+
+        M = -(-n // K)
+        pad = M * K - n
+        idx_p = jnp.pad(idx_flat, (0, pad)) if pad else idx_flat
+        if n_words == 0:
+            stream = np.zeros(1, np.uint16)
+        values, sentinel = _decode_scan(
+            idx_p.reshape(M, K),
+            jnp.asarray(states),
+            jnp.asarray(stream.astype(np.uint16)),
+            self._cdf_flat,
+            self._decode_lut(),
+            self._max_values,
+            self._offsets,
+            self._max_len,
+            M,
+        )
+        values = values.reshape(-1)[:n]
+        sentinel = sentinel.reshape(-1)[:n]
+        if n_esc:
+            esc_dev = jnp.asarray(
+                np.pad(esc_val, (0, _bucket(n_esc) - n_esc))
+            )
+            rank = jnp.cumsum(sentinel.astype(jnp.int32)) - 1
+            values = jnp.where(
+                sentinel, esc_dev[jnp.clip(rank, 0, esc_dev.shape[0] - 1)], values
+            )
+        return values.reshape(idx_shape)
 
     # -- decode -----------------------------------------------------------
     def decode(self, data: bytes, indexes: np.ndarray) -> np.ndarray:

@@ -426,8 +426,30 @@ class VAEformerCodec:
         return self._compress_symbols(out)
 
     def _compress_symbols(self, out) -> Dict[str, Any]:
-        # one bulk D2H (per-array transfers pay tunnel latency each);
-        # scale indexes fit uint8 (64-entry table) -> 4x smaller transfer
+        if self.coder == "v2":
+            # fully device-resident coding: symbols never cross to host;
+            # only the compacted streams do
+            gc_idx_dev = build_indexes(
+                jnp.asarray(out["scales"], jnp.float32), jnp.asarray(self.scale_table)
+            )
+            z_sym_dev = out["z_sym"]
+            B, C = z_sym_dev.shape[:2]
+            z_idx_dev = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32)[None, :, None, None], z_sym_dev.shape
+            )
+            z_strings = [
+                self._eb_coder.encode_from_device(z_sym_dev[i], z_idx_dev[i])
+                for i in range(B)
+            ]
+            y_strings = [
+                self._gc_coder.encode_from_device(out["y_sym"][i], gc_idx_dev[i])
+                for i in range(out["y_sym"].shape[0])
+            ]
+            return {
+                "strings": [y_strings, z_strings],
+                "z_shape": tuple(int(s) for s in out["z_shape"]),
+            }
+
         gc_idx_dev = build_indexes(
             jnp.asarray(out["scales"], jnp.float32), jnp.asarray(self.scale_table)
         ).astype(jnp.uint8)
@@ -438,11 +460,11 @@ class VAEformerCodec:
         z_idx = self._z_indexes(z_sym.shape)
 
         z_strings = [
-            self._encode_stream(self._eb_table, getattr(self, "_eb_coder", None), z_sym[i], z_idx[i])
+            self._encode_stream(self._eb_table, None, z_sym[i], z_idx[i])
             for i in range(z_sym.shape[0])
         ]
         y_strings = [
-            self._encode_stream(self._gc_table, getattr(self, "_gc_coder", None), y_sym[i], gc_idx[i])
+            self._encode_stream(self._gc_table, None, y_sym[i], gc_idx[i])
             for i in range(y_sym.shape[0])
         ]
         return {
@@ -458,35 +480,60 @@ class VAEformerCodec:
         B = len(z_strings)
         C = self.model.cfg.z_channels
         full_z_shape = (B, C, int(z_shape[0]), int(z_shape[1]))
-        z_idx = self._z_indexes(full_z_shape)
 
-        z_sym = np.stack(
-            [
-                self._decode_stream(
-                    self._eb_table, getattr(self, "_eb_coder", None),
-                    _unwrap(z_strings[i]), z_idx[i],
-                )
-                for i in range(B)
-            ]
-        )
-        scales, means = self._scales_from_z(self.variables, jnp.asarray(z_sym))
-        gc_idx = np.asarray(
-            build_indexes(
+        if self.coder == "v2":
+            # device-resident decode: decoded symbols feed the hyper/
+            # synthesis transforms without touching the host
+            z_idx_dev = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32)[None, :, None, None], full_z_shape
+            )
+            z_sym = jnp.stack(
+                [
+                    self._eb_coder.decode_to_device(_unwrap(z_strings[i]), z_idx_dev[i])
+                    for i in range(B)
+                ]
+            )
+            scales, means = self._scales_from_z(self.variables, z_sym)
+            gc_idx = build_indexes(
                 jnp.asarray(scales, jnp.float32), jnp.asarray(self.scale_table)
-            ).astype(jnp.uint8)
-        ).astype(np.int32)
-        y_sym = np.stack(
-            [
-                self._decode_stream(
-                    self._gc_table, getattr(self, "_gc_coder", None),
-                    _unwrap(y_strings[i]), gc_idx[i],
+            )
+            y_sym = jnp.stack(
+                [
+                    self._gc_coder.decode_to_device(_unwrap(y_strings[i]), gc_idx[i])
+                    for i in range(B)
+                ]
+            )
+        else:
+            z_idx = self._z_indexes(full_z_shape)
+            z_sym = jnp.asarray(
+                np.stack(
+                    [
+                        self._decode_stream(
+                            self._eb_table, None, _unwrap(z_strings[i]), z_idx[i]
+                        )
+                        for i in range(B)
+                    ]
                 )
-                for i in range(B)
-            ]
-        )
+            )
+            scales, means = self._scales_from_z(self.variables, z_sym)
+            gc_idx = np.asarray(
+                build_indexes(
+                    jnp.asarray(scales, jnp.float32), jnp.asarray(self.scale_table)
+                ).astype(jnp.uint8)
+            ).astype(np.int32)
+            y_sym = jnp.asarray(
+                np.stack(
+                    [
+                        self._decode_stream(
+                            self._gc_table, None, _unwrap(y_strings[i]), gc_idx[i]
+                        )
+                        for i in range(B)
+                    ]
+                )
+            )
         if return_format == "latent":
-            return np.asarray(jnp.asarray(y_sym, jnp.float32) + means)
-        x_hat = self._reconstruct(self.variables, jnp.asarray(y_sym), means)
+            return np.asarray(y_sym.astype(jnp.float32) + means)
+        x_hat = self._reconstruct(self.variables, y_sym, means)
         return {"x_hat": x_hat}
 
     # convenience mirrors of the reference float paths

@@ -211,3 +211,36 @@ def test_lane_2d_shapes(rng):
     out = coder.decode(coder.encode(sym, idx), idx)
     assert out.shape == (24, 32)
     assert np.array_equal(out, sym)
+
+
+def test_device_path_roundtrip(rng):
+    """encode_from_device / decode_to_device must interop with the numpy
+    paths and with each other, escapes included."""
+    import jax.numpy as jnp
+
+    table = make_table(rng, ncdfs=6, max_bins=24)
+    sym, idx = sample_symbols(rng, table, 50_000, escape_frac=0.01)
+    coder = LaneCoder(table)
+
+    data_np = coder.encode(sym, idx)
+    data_dev = coder.encode_from_device(jnp.asarray(sym), jnp.asarray(idx))
+    assert data_np == data_dev  # identical container bytes
+
+    out_dev = np.asarray(coder.decode_to_device(data_dev, jnp.asarray(idx)))
+    np.testing.assert_array_equal(out_dev, sym)
+    out_np = coder.decode(data_dev, idx)
+    np.testing.assert_array_equal(out_np, sym)
+
+
+def test_device_path_shapes_and_no_escape(rng):
+    import jax.numpy as jnp
+
+    table = make_table(rng, ncdfs=3, max_bins=16)
+    sym, idx = sample_symbols(rng, table, 4096, escape_frac=0.0)
+    coder = LaneCoder(table)
+    sym2 = sym.reshape(4, 32, 32)
+    idx2 = idx.reshape(4, 32, 32)
+    data = coder.encode_from_device(jnp.asarray(sym2), jnp.asarray(idx2))
+    out = coder.decode_to_device(data, jnp.asarray(idx2))
+    assert out.shape == (4, 32, 32)
+    np.testing.assert_array_equal(np.asarray(out), sym2)
