@@ -1,5 +1,5 @@
 from .era5 import ERA5NpyDataset, ERA5NcDataset, timestamp_range
-from .image import ImageFolder, VideoFolder, Vimeo90kDataset
+from .image import ImageFolder, RawVideoSequence, VideoFolder, Vimeo90kDataset
 from .prefetch import PrefetchLoader, batch_iterator
 from .transforms import rgb2ycbcr, ycbcr2rgb, yuv_444_to_420, yuv_420_to_444
 
@@ -9,6 +9,7 @@ __all__ = [
     "timestamp_range",
     "ImageFolder",
     "VideoFolder",
+    "RawVideoSequence",
     "Vimeo90kDataset",
     "PrefetchLoader",
     "batch_iterator",

@@ -101,6 +101,57 @@ class VideoFolder:
         return clip
 
 
+class RawVideoSequence:
+    """Raw planar YUV420 (.yuv) reader (reference datasets/rawvideo.py):
+    frames indexable as dicts of float32 planes in [0, 1]. Geometry is
+    parsed from names like ``name_WxH_FPS[_bitdepth].yuv`` or passed
+    explicitly."""
+
+    def __init__(
+        self,
+        path: str,
+        width: Optional[int] = None,
+        height: Optional[int] = None,
+        bitdepth: int = 8,
+    ):
+        self.path = path
+        if width is None or height is None:
+            import re
+
+            m = re.search(r"(\d+)x(\d+)", os.path.basename(path))
+            if not m:
+                raise ValueError(f"cannot parse WxH from {path!r}")
+            width, height = int(m.group(1)), int(m.group(2))
+        self.width = width
+        self.height = height
+        self.bitdepth = bitdepth
+        self._dtype = np.uint8 if bitdepth == 8 else np.uint16
+        bpp = 1 if bitdepth == 8 else 2
+        self._frame_bytes = (width * height + 2 * (width // 2) * (height // 2)) * bpp
+        self._num_frames = os.path.getsize(path) // self._frame_bytes
+
+    def __len__(self) -> int:
+        return self._num_frames
+
+    def __getitem__(self, index: int):
+        if not 0 <= index < self._num_frames:
+            raise IndexError(index)
+        w, h = self.width, self.height
+        cw, ch = w // 2, h // 2
+        max_val = float(2 ** self.bitdepth - 1)
+        with open(self.path, "rb") as f:
+            f.seek(index * self._frame_bytes)
+            raw = np.frombuffer(f.read(self._frame_bytes), self._dtype)
+        y = raw[: w * h].reshape(1, h, w)
+        u = raw[w * h : w * h + cw * ch].reshape(1, ch, cw)
+        v = raw[w * h + cw * ch :].reshape(1, ch, cw)
+        return {
+            "y": y.astype(np.float32) / max_val,
+            "u": u.astype(np.float32) / max_val,
+            "v": v.astype(np.float32) / max_val,
+        }
+
+
 class Vimeo90kDataset:
     """Vimeo-90k septuplets: root/sequences/<a>/<b>/im{1..7}.png with a
     tri_{split}list.txt index (reference datasets/vimeo90k.py)."""

@@ -172,3 +172,35 @@ def test_color_transforms_roundtrip():
     assert y.shape == (2, 1, 16, 16) and u.shape == (2, 1, 8, 8)
     full = yuv_420_to_444((y, u, v))
     assert full.shape == (2, 3, 16, 16)
+
+
+def test_raw_video_sequence(tmp_path):
+    from cra5_tpu.data import RawVideoSequence, yuv_420_to_444
+
+    w, h = 16, 8
+    rng = np.random.default_rng(0)
+    frames = []
+    raw = bytearray()
+    for _ in range(3):
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        u = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        v = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        frames.append((y, u, v))
+        raw += y.tobytes() + u.tobytes() + v.tobytes()
+    path = tmp_path / f"clip_{w}x{h}_30.yuv"
+    path.write_bytes(bytes(raw))
+
+    seq = RawVideoSequence(str(path))
+    assert len(seq) == 3
+    f0 = seq[1]
+    np.testing.assert_allclose(f0["y"][0], frames[1][0] / 255.0, atol=1e-6)
+    assert f0["u"].shape == (1, 4, 8)
+    # feeds the 420->444 transform
+    import jax.numpy as jnp
+
+    full = yuv_420_to_444(
+        (jnp.asarray(f0["y"][None]), jnp.asarray(f0["u"][None]), jnp.asarray(f0["v"][None]))
+    )
+    assert full.shape == (1, 3, 8, 16)
+    with pytest.raises(IndexError):
+        seq[3]
