@@ -202,12 +202,24 @@ def _decode_scan(indexes, states, stream, cdf_flat, sym_lut, max_values,
 
 
 @functools.partial(jax.jit, static_argnames=("max_len", "M", "K"))
-def _encode_device(symbols, indexes, cdf_flat, offsets, max_values,
+def _encode_device(symbols_any, indexes_any, cdf_flat, offsets, max_values,
                    magic_m_flat, magic_s_flat, max_len, M, K):
-    """Fully on-device encode: symbol prep (escape mapping, cdf/magic
-    gathers), the rANS scan, and compaction of the emitted words and
-    escape values — only count-sized buffers cross to the host.
-    symbols/indexes: flat (M*K,) int32 (pre-padded)."""
+    """Fully on-device encode: padding, symbol prep (escape mapping,
+    cdf/magic gathers), the rANS scan, and compaction of the emitted
+    words and escape values — one dispatch; only count-sized buffers
+    cross to the host afterwards. Eager per-op dispatch is expensive on
+    tunneled backends, so everything lives inside this jit."""
+    sym_flat = jnp.ravel(symbols_any).astype(jnp.int32)
+    idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
+    n = sym_flat.shape[0]
+    pad = M * K - n
+    if pad:
+        # padded slots use index 0 at its offset (in-range, no escape)
+        sym_flat = jnp.pad(sym_flat, (0, pad), constant_values=0) + jnp.pad(
+            jnp.zeros(n, jnp.int32), (0, pad), constant_values=1
+        ) * offsets[0]
+        idx_flat = jnp.pad(idx_flat, (0, pad))
+    symbols, indexes = sym_flat, idx_flat
     v = symbols - offsets[indexes]
     mv = max_values[indexes]
     escape = (v < 0) | (v >= mv)
@@ -245,6 +257,34 @@ def _bucket(n: int) -> int:
     while k < n:
         k *= 2
     return k
+
+
+@functools.lru_cache(maxsize=64)
+def _slicer(size: int):
+    return jax.jit(lambda a: jax.lax.slice(a, (0,), (size,)))
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "M", "K", "has_esc"))
+def _decode_device(indexes_any, states, stream, esc_vals, cdf_flat, sym_lut,
+                   max_values, offsets, max_len, M, K, has_esc):
+    """Fully on-device decode incl. escape scatter — one dispatch."""
+    idx_shape = indexes_any.shape
+    idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
+    n = idx_flat.shape[0]
+    pad = M * K - n
+    idx_p = jnp.pad(idx_flat, (0, pad)) if pad else idx_flat
+    values, sentinel = _decode_scan(
+        idx_p.reshape(M, K), states, stream, cdf_flat, sym_lut,
+        max_values, offsets, max_len, M,
+    )
+    values = values.reshape(-1)[: n]
+    if has_esc:
+        sentinel = sentinel.reshape(-1)[: n]
+        rank = jnp.cumsum(sentinel.astype(jnp.int32)) - 1
+        values = jnp.where(
+            sentinel, esc_vals[jnp.clip(rank, 0, esc_vals.shape[0] - 1)], values
+        )
+    return values.reshape(idx_shape)
 
 
 class LaneCoder:
@@ -356,20 +396,10 @@ class LaneCoder:
             return struct.pack("<IIIII", MAGIC, 0, 1, 0, 0) + struct.pack("<I", 1 << 16)
         K = self.num_lanes or default_num_lanes(n)
         M = -(-n // K)
-        pad = M * K - n
-        sym_flat = jnp.ravel(symbols).astype(jnp.int32)
-        idx_flat = jnp.ravel(indexes).astype(jnp.int32)
-        if pad:
-            sym_flat = jnp.pad(sym_flat, (0, pad))
-            idx_flat = jnp.pad(idx_flat, (0, pad))
-        # padding symbols must be in-range for index 0 so they don't escape
-        if pad:
-            base = self._offsets[0]
-            sym_flat = sym_flat.at[n:].set(base)
 
         magic_m, magic_s = self._magic_tables()
         x_final, stream_buf, esc_buf, n_words, n_esc = _encode_device(
-            sym_flat, idx_flat, self._cdf_flat, self._offsets, self._max_values,
+            symbols, indexes, self._cdf_flat, self._offsets, self._max_values,
             magic_m, magic_s, self._max_len, M, K,
         )
         nw, ne = jax.device_get((n_words, n_esc))
@@ -377,8 +407,8 @@ class LaneCoder:
         states, stream, escs = jax.device_get(
             (
                 x_final,
-                jax.lax.slice(stream_buf, (0,), (min(_bucket(max(nw, 1)), M * K),)),
-                jax.lax.slice(esc_buf, (0,), (min(_bucket(max(ne, 1)), M * K),)),
+                _slicer(min(_bucket(max(nw, 1)), M * K))(stream_buf),
+                _slicer(min(_bucket(max(ne, 1)), M * K))(esc_buf),
             )
         )
         stream = np.asarray(stream[:nw], np.uint16)
@@ -395,47 +425,37 @@ class LaneCoder:
         """Decode a v2 stream against device-resident indexes; the decoded
         int32 symbols stay on device (feed them straight into the
         synthesis transform). Escape values are scattered on device."""
-        idx_shape = indexes.shape
-        idx_flat = jnp.ravel(indexes).astype(jnp.int32)
         magic, n, K, n_esc, n_words = struct.unpack_from("<IIIII", data, 0)
         if magic != MAGIC:
             raise ValueError("not a CRX2 (format v2) stream")
-        if n != idx_flat.shape[0]:
-            raise ValueError(f"symbol count mismatch: stream {n}, indexes {idx_flat.shape[0]}")
+        if n != int(np.prod(indexes.shape)):
+            raise ValueError(f"symbol count mismatch: stream {n}, indexes {indexes.shape}")
         off = 20
         states = np.frombuffer(data, "<u4", K, off).copy(); off += 4 * K
         stream = np.frombuffer(data, "<u2", n_words, off).copy(); off += 2 * n_words
         esc_val = _zigzag_varint_decode(data[off:], n_esc)
         if n == 0:
-            return jnp.zeros(idx_shape, jnp.int32)
-
-        M = -(-n // K)
-        pad = M * K - n
-        idx_p = jnp.pad(idx_flat, (0, pad)) if pad else idx_flat
+            return jnp.zeros(indexes.shape, jnp.int32)
         if n_words == 0:
             stream = np.zeros(1, np.uint16)
-        values, sentinel = _decode_scan(
-            idx_p.reshape(M, K),
+        # bucket the escape buffer so the jit shape set stays small
+        esc_padded = np.pad(esc_val, (0, _bucket(max(n_esc, 1)) - n_esc))
+
+        M = -(-n // K)
+        return _decode_device(
+            indexes,
             jnp.asarray(states),
             jnp.asarray(stream.astype(np.uint16)),
+            jnp.asarray(esc_padded),
             self._cdf_flat,
             self._decode_lut(),
             self._max_values,
             self._offsets,
             self._max_len,
             M,
+            K,
+            n_esc > 0,
         )
-        values = values.reshape(-1)[:n]
-        sentinel = sentinel.reshape(-1)[:n]
-        if n_esc:
-            esc_dev = jnp.asarray(
-                np.pad(esc_val, (0, _bucket(n_esc) - n_esc))
-            )
-            rank = jnp.cumsum(sentinel.astype(jnp.int32)) - 1
-            values = jnp.where(
-                sentinel, esc_dev[jnp.clip(rank, 0, esc_dev.shape[0] - 1)], values
-            )
-        return values.reshape(idx_shape)
 
     # -- decode -----------------------------------------------------------
     def decode(self, data: bytes, indexes: np.ndarray) -> np.ndarray:
