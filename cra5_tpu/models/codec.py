@@ -130,19 +130,51 @@ class ImageCodec(_CodecBase):
     def forward(self, x):
         return self._forward(self.variables, jnp.asarray(x))
 
+    @staticmethod
+    def _channel_indexes_dev(shape) -> jnp.ndarray:
+        C = shape[1]
+        return jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :, None, None], shape
+        )
+
     def compress(self, x) -> Dict[str, Any]:
         self._require_tables()
         out = self._encode_symbols(self.variables, jnp.asarray(x))
         if self.kind == "factorized":
-            y_sym = np.asarray(out["y_sym"])
-            idx = self._channel_indexes(y_sym.shape)
-            y_strings = [
-                self._encode_stream(self._eb_table, self._eb_coder, y_sym[i], idx[i])
-                for i in range(y_sym.shape[0])
-            ]
+            if self.coder == "v2":
+                idx = self._channel_indexes_dev(out["y_sym"].shape)
+                y_strings = [
+                    self._eb_coder.encode_from_device(out["y_sym"][i], idx[i])
+                    for i in range(out["y_sym"].shape[0])
+                ]
+            else:
+                y_sym = np.asarray(out["y_sym"])
+                idx = self._channel_indexes(y_sym.shape)
+                y_strings = [
+                    self._encode_stream(self._eb_table, self._eb_coder, y_sym[i], idx[i])
+                    for i in range(y_sym.shape[0])
+                ]
             return {
                 "strings": [y_strings],
                 "shape": tuple(int(s) for s in out["y_shape"]),
+            }
+
+        if self.coder == "v2":
+            gc_idx = build_indexes(
+                jnp.asarray(out["scales"], jnp.float32), jnp.asarray(self.scale_table)
+            )
+            z_idx = self._channel_indexes_dev(out["z_sym"].shape)
+            z_strings = [
+                self._eb_coder.encode_from_device(out["z_sym"][i], z_idx[i])
+                for i in range(out["z_sym"].shape[0])
+            ]
+            y_strings = [
+                self._gc_coder.encode_from_device(out["y_sym"][i], gc_idx[i])
+                for i in range(out["y_sym"].shape[0])
+            ]
+            return {
+                "strings": [y_strings, z_strings],
+                "shape": tuple(int(s) for s in out["z_shape"]),
             }
 
         y_sym = np.asarray(out["y_sym"])
@@ -172,44 +204,78 @@ class ImageCodec(_CodecBase):
             B = len(y_strings)
             C = self.model.M
             full = (B, C, int(shape[0]), int(shape[1]))
-            idx = self._channel_indexes(full)
-            y_sym = np.stack(
-                [
-                    self._decode_stream(
-                        self._eb_table, self._eb_coder, _unwrap(y_strings[i]), idx[i]
+            if self.coder == "v2":
+                idx = self._channel_indexes_dev(full)
+                y_sym = jnp.stack(
+                    [
+                        self._eb_coder.decode_to_device(_unwrap(y_strings[i]), idx[i])
+                        for i in range(B)
+                    ]
+                )
+            else:
+                idx = self._channel_indexes(full)
+                y_sym = jnp.asarray(
+                    np.stack(
+                        [
+                            self._decode_stream(
+                                self._eb_table, self._eb_coder, _unwrap(y_strings[i]), idx[i]
+                            )
+                            for i in range(B)
+                        ]
                     )
-                    for i in range(B)
-                ]
-            )
-            x_hat = self._reconstruct(self.variables, jnp.asarray(y_sym), None)
+                )
+            x_hat = self._reconstruct(self.variables, y_sym, None)
             return {"x_hat": x_hat}
 
         y_strings, z_strings = strings[0], strings[1]
         B = len(z_strings)
         C = self.model.N
         full_z = (B, C, int(shape[0]), int(shape[1]))
-        z_idx = self._channel_indexes(full_z)
-        z_sym = np.stack(
-            [
-                self._decode_stream(
-                    self._eb_table, self._eb_coder, _unwrap(z_strings[i]), z_idx[i]
+        if self.coder == "v2":
+            z_idx = self._channel_indexes_dev(full_z)
+            z_sym = jnp.stack(
+                [
+                    self._eb_coder.decode_to_device(_unwrap(z_strings[i]), z_idx[i])
+                    for i in range(B)
+                ]
+            )
+            scales, means = self._hyper_from_z(self.variables, z_sym)
+            gc_idx = build_indexes(
+                jnp.asarray(scales, jnp.float32), jnp.asarray(self.scale_table)
+            )
+            y_sym = jnp.stack(
+                [
+                    self._gc_coder.decode_to_device(_unwrap(y_strings[i]), gc_idx[i])
+                    for i in range(B)
+                ]
+            )
+        else:
+            z_idx = self._channel_indexes(full_z)
+            z_sym = jnp.asarray(
+                np.stack(
+                    [
+                        self._decode_stream(
+                            self._eb_table, self._eb_coder, _unwrap(z_strings[i]), z_idx[i]
+                        )
+                        for i in range(B)
+                    ]
                 )
-                for i in range(B)
-            ]
-        )
-        scales, means = self._hyper_from_z(self.variables, jnp.asarray(z_sym))
-        gc_idx = np.asarray(
-            build_indexes(jnp.asarray(scales, jnp.float32), jnp.asarray(self.scale_table))
-        )
-        y_sym = np.stack(
-            [
-                self._decode_stream(
-                    self._gc_table, self._gc_coder, _unwrap(y_strings[i]), gc_idx[i]
+            )
+            scales, means = self._hyper_from_z(self.variables, z_sym)
+            gc_idx = np.asarray(
+                build_indexes(jnp.asarray(scales, jnp.float32), jnp.asarray(self.scale_table))
+            )
+            y_sym = jnp.asarray(
+                np.stack(
+                    [
+                        self._decode_stream(
+                            self._gc_table, self._gc_coder, _unwrap(y_strings[i]), gc_idx[i]
+                        )
+                        for i in range(B)
+                    ]
                 )
-                for i in range(B)
-            ]
-        )
-        x_hat = self._reconstruct(self.variables, jnp.asarray(y_sym), means)
+            )
+        x_hat = self._reconstruct(self.variables, y_sym, means)
         return {"x_hat": x_hat}
 
 
