@@ -355,6 +355,12 @@ class VAEformerCodec:
         self._forward = jax.jit(
             lambda v, x: model.apply(v, x)
         )
+        # single-dispatch index builders (eager ops cost a round trip each
+        # on tunneled backends)
+        self._gc_index = jax.jit(
+            lambda scales, table: build_indexes(scales.astype(jnp.float32), table)
+        )
+        self._scale_table_dev = jnp.asarray(self.scale_table)
 
     # -- table management --------------------------------------------------
     def update(self, force: bool = False) -> bool:
@@ -429,9 +435,7 @@ class VAEformerCodec:
         if self.coder == "v2":
             # fully device-resident coding: symbols never cross to host;
             # only the compacted streams do
-            gc_idx_dev = build_indexes(
-                jnp.asarray(out["scales"], jnp.float32), jnp.asarray(self.scale_table)
-            )
+            gc_idx_dev = self._gc_index(out["scales"], self._scale_table_dev)
             z_sym_dev = out["z_sym"]
             B, C = z_sym_dev.shape[:2]
             z_idx_dev = jnp.broadcast_to(
@@ -494,9 +498,7 @@ class VAEformerCodec:
                 ]
             )
             scales, means = self._scales_from_z(self.variables, z_sym)
-            gc_idx = build_indexes(
-                jnp.asarray(scales, jnp.float32), jnp.asarray(self.scale_table)
-            )
+            gc_idx = self._gc_index(scales, self._scale_table_dev)
             y_sym = jnp.stack(
                 [
                     self._gc_coder.decode_to_device(_unwrap(y_strings[i]), gc_idx[i])
