@@ -1,0 +1,59 @@
+"""Bitstream golden files: both container formats are locked across
+builds — a format change that breaks decode of previously written
+archives fails here (SURVEY.md §4 'bitstream golden files')."""
+
+from pathlib import Path
+
+import numpy as np
+
+GOLDEN = Path(__file__).parent / "goldens"
+
+
+def _load():
+    from cra5_tpu.entropy.cdf import CdfTable
+
+    z = np.load(GOLDEN / "rans_golden.npz")
+    table = CdfTable(
+        quantized_cdf=z["quantized_cdf"],
+        cdf_length=z["cdf_length"],
+        offset=z["offset"],
+    )
+    return z["sym"], z["idx"], table
+
+
+def test_v1_golden_decodes():
+    from cra5_tpu.coder import native
+
+    sym, idx, table = _load()
+    data = (GOLDEN / "stream_v1.bin").read_bytes()
+    out = native.decode_with_indexes(
+        data, idx, table.quantized_cdf, table.cdf_length, table.offset
+    )
+    np.testing.assert_array_equal(out, sym)
+
+
+def test_v1_golden_reencodes_identically():
+    from cra5_tpu.coder import native
+
+    sym, idx, table = _load()
+    data = native.encode_with_indexes(
+        sym, idx, table.quantized_cdf, table.cdf_length, table.offset
+    )
+    assert data == (GOLDEN / "stream_v1.bin").read_bytes()
+
+
+def test_v2_golden_decodes():
+    from cra5_tpu.coder.rans_tpu import LaneCoder
+
+    sym, idx, table = _load()
+    data = (GOLDEN / "stream_v2.bin").read_bytes()
+    out = LaneCoder(table).decode(data, idx)
+    np.testing.assert_array_equal(out, sym)
+
+
+def test_v2_golden_reencodes_identically():
+    from cra5_tpu.coder.rans_tpu import LaneCoder
+
+    sym, idx, table = _load()
+    data = LaneCoder(table).encode(sym, idx)
+    assert data == (GOLDEN / "stream_v2.bin").read_bytes()
