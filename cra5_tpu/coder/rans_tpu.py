@@ -332,58 +332,12 @@ class LaneCoder:
 
     # -- encode -----------------------------------------------------------
     def encode(self, symbols: np.ndarray, indexes: np.ndarray) -> bytes:
-        symbols = np.ascontiguousarray(np.asarray(symbols).reshape(-1), np.int32)
-        indexes = np.ascontiguousarray(np.asarray(indexes).reshape(-1), np.int32)
-        n = symbols.size
-        if n == 0:
-            return struct.pack("<IIIII", MAGIC, 0, 1, 0, 0) + struct.pack("<I", 1 << 16)
-        K = self.num_lanes or default_num_lanes(n)
-        M = -(-n // K)
-
-        offs = self.table.offset
-        lens = self.table.cdf_length
-        v = symbols - offs[indexes]
-        max_value = lens[indexes] - 2
-        escape = (v < 0) | (v >= max_value)
-        bins = np.where(escape, max_value, v).astype(np.int32)
-        # escape values travel as zigzag varints, in scan order; the decoder
-        # recovers their positions from the sentinel bins it decodes.
-        esc_val = symbols[escape].astype(np.int32)
-
-        # pad to M*K with index 0 / bin 0 symbols
-        pad = M * K - n
-        if pad:
-            bins = np.concatenate([bins, np.zeros(pad, np.int32)])
-            indexes_p = np.concatenate([indexes, np.zeros(pad, np.int32)])
-        else:
-            indexes_p = indexes
-
-        cdf = self.table.quantized_cdf
-        starts = cdf[indexes_p, bins].astype(np.int32)
-        freqs = (cdf[indexes_p, bins + 1] - starts).astype(np.int32)
-
-        grid = lambda a: jnp.asarray(a.reshape(M, K))
-        magic_m, magic_s = _division_magic(freqs)
-        x_final, emit, words = _encode_scan(
-            grid(bins), grid(starts), grid(freqs),
-            jnp.asarray(magic_m.reshape(M, K)),
-            jnp.asarray(magic_s.reshape(M, K)),
-            M,
+        """numpy-facing entry: identical container bytes to the device path
+        (delegates; the device path never marshals symbols back)."""
+        return self.encode_from_device(
+            jnp.asarray(np.ascontiguousarray(symbols, np.int32)),
+            jnp.asarray(np.ascontiguousarray(indexes, np.int32)),
         )
-        # one bulk D2H: per-array transfers pay tunnel latency each
-        x_final, emit, words = jax.device_get((x_final, emit, words))
-        emit = np.asarray(emit)
-        words = np.asarray(words)
-        states = np.asarray(x_final, dtype=np.uint32)
-
-        stream = words[emit]  # row-major (t asc, lane asc) == decode order
-        header = struct.pack("<IIIII", MAGIC, n, K, len(esc_val), stream.size)
-        return b"".join([
-            header,
-            states.astype("<u4").tobytes(),
-            stream.astype("<u2").tobytes(),
-            _zigzag_varint_encode(esc_val),
-        ])
 
     # -- device-resident paths ---------------------------------------------
     def encode_from_device(self, symbols, indexes) -> bytes:

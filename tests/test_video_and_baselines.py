@@ -1,7 +1,6 @@
 """ScaleSpaceFlow video codec, VAEformer baselines, and the pure ViT VAE:
 forward shapes/likelihoods and compress->decompress roundtrips."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
