@@ -224,3 +224,80 @@ def test_entropy_bottleneck_key_conversion():
     assert rename_key("module.entropy_bottleneck._matrices.0") == "entropy_bottleneck._matrix0"
     assert rename_key("entropy_bottleneck._biases.2") == "entropy_bottleneck._bias2"
     assert rename_key("g_a.0.downsample.weight") == "g_a.0.skip.weight"
+
+
+def test_hyper_encoder_activation_parity(vit_nlc):
+    import jax.numpy as jnp
+
+    from cra5_tpu.nn.vit import HyperEncoder
+    from cra5_tpu.tools.convert_torch import convert_vit_tower
+
+    torch.manual_seed(4)
+    ref = vit_nlc.HyperpriorEncoder(
+        img_size=(8, 8),
+        patch_size=(2, 2),
+        patch_stride=(2, 2),
+        in_chans=12,
+        z_dim=6,
+        embed_dim=16,
+        depth=4,
+        num_heads=2,
+        mlp_ratio=4.0,
+        qkv_bias=True,
+        window_size=(4, 4),
+        interval=1,
+        use_abs_pos_emb=True,
+        window=False,
+        norm_layer=__import__("functools").partial(torch.nn.LayerNorm, eps=1e-6),
+    ).eval()
+    sd = {f"h_a.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_vit_tower(sd, "h_a")
+
+    ours = HyperEncoder(
+        img_size=(8, 8), patch_size=(2, 2), patch_stride=(2, 2),
+        in_chans=12, z_dim=6, embed_dim=16, depth=4, num_heads=2, interval=1,
+    )
+    y = np.random.default_rng(5).normal(size=(1, 12, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(y)).numpy()
+    our_out = np.asarray(ours.apply({"params": params}, jnp.asarray(y)))
+    assert our_out.shape == ref_out.shape
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_hyper_decoder_activation_parity(vit_nlc):
+    import jax.numpy as jnp
+
+    from cra5_tpu.nn.vit import HyperDecoder
+    from cra5_tpu.tools.convert_torch import convert_vit_tower
+
+    torch.manual_seed(6)
+    ref = vit_nlc.HyperpriorDecoder(
+        img_size=(8, 8),
+        patch_size=(2, 2),
+        patch_stride=(2, 2),
+        out_chans=12,
+        z_dim=6,
+        embed_dim=16,
+        depth=4,
+        num_heads=2,
+        mlp_ratio=4.0,
+        qkv_bias=True,
+        window_size=(4, 4),
+        interval=1,
+        window=False,
+        norm_layer=__import__("functools").partial(torch.nn.LayerNorm, eps=1e-6),
+    ).eval()
+    sd = {f"h_s.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_vit_tower(sd, "h_s")
+
+    ours = HyperDecoder(
+        img_size=(8, 8), patch_size=(2, 2), patch_stride=(2, 2),
+        out_chans=12, z_dim=6, embed_dim=16, depth=4, num_heads=2,
+    )
+    z = np.random.default_rng(7).normal(size=(1, 6, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(z)).numpy()
+    our_out = np.asarray(ours.apply({"params": params}, jnp.asarray(z)))
+    assert our_out.shape == ref_out.shape
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-4)
