@@ -119,7 +119,9 @@ class cra5_api:
         return era5.denormalize(np.asarray(data), self.mean, self.std)
 
     # -- encode ------------------------------------------------------------
-    def encode_to_latent(self, time_stamp: str, latent_type: str = "float"):
+    def encode_to_latent(
+        self, time_stamp: str, save_root: Optional[str] = None, latent_type: str = "float"
+    ):
         data = self._read_or_synthesize(time_stamp)
         x = self.normalization(data)[None]
         y = self.codec.encode_latent(x)
