@@ -67,12 +67,21 @@ class cra5_api:
             self.std = self.std[: model_cfg.in_chans]
         self.net = VAEformer(model_cfg, dtype=dtype)
 
+        tables = None
         if weights is not None:
             variables = self._load_weights(weights)
+            # converted reference checkpoints carry their trained CDF
+            # buffers (models/base.py:69-89) — install them so archives
+            # decode without an update() pass
+            tables = variables.pop("_cdf_tables", None) if isinstance(variables, dict) else None
         else:
             x0 = jnp.zeros((1, model_cfg.in_chans, *model_cfg.img_size), dtype)
             variables = self.net.init(jax.random.PRNGKey(seed), x0)
         self.codec = VAEformerCodec(self.net, variables, coder=coder)
+        if tables and "eb" in tables and "gc" in tables:
+            if "scale_table" in tables:
+                self.codec.scale_table = np.asarray(tables["scale_table"], np.float32)
+            self.codec.set_tables(tables["eb"], tables["gc"])
 
         self._downloader = None
 

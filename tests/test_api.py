@@ -106,3 +106,44 @@ def test_api_show_image(tiny_api, tmp_path):
     api.vname_to_channels = {f"ch{i}": i for i in range(8)}
     p = api.show_image(dec["x_hat"], ts, show_variables=["ch0", "ch1"], save_path=str(tmp_path))
     assert os.path.exists(p)
+
+
+def test_api_loads_weights_with_cdf_tables(tmp_path):
+    """A checkpoint carrying trained CDF buffers (converter output) must
+    install them on the codec without an update() pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from cra5_tpu.api import cra5_api
+    from cra5_tpu.entropy import eb_update, gc_update, get_scale_table
+    from cra5_tpu.entropy.entropy_bottleneck import eb_params_from_variables
+    from cra5_tpu.models import VAEformer
+    from cra5_tpu.models.vaeformer import vaeformer_tiny
+    from cra5_tpu.train.checkpoints import save_variables
+
+    cfg = vaeformer_tiny()
+    model = VAEformer(cfg)
+    x0 = jnp.zeros((1, cfg.in_chans, *cfg.img_size))
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    path = tmp_path / "w.msgpack"
+    save_variables(str(path), variables)
+
+    api = cra5_api(model_version=-1, weights=str(path), local_root=str(tmp_path))
+    # plain weights: tables built lazily via update()
+    out = api.encode_era5_as_bin("2024-06-01T00:00:00")
+    assert out["save_path"].endswith(".bin")
+
+    # now a dict that carries tables directly
+    eb_params = eb_params_from_variables(variables, "entropy_bottleneck")
+    tables = {"eb": eb_update(eb_params), "gc": gc_update(get_scale_table())}
+
+    class _FakeLoad(cra5_api):
+        def _load_weights(self, p):
+            v = dict(variables)
+            v["_cdf_tables"] = tables
+            return v
+
+    api2 = _FakeLoad(model_version=-1, weights="ignored", local_root=str(tmp_path))
+    assert api2.codec._eb_table is tables["eb"]
+    dec = api2.decode_from_bin("2024-06-01T00:00:00")
+    assert dec["x_hat"].shape[0] == cfg.in_chans
