@@ -63,6 +63,10 @@ class VAEformerConfig:
     hyper_patch: Tuple[int, int]
     sample_posterior: bool = False
     lower_dim: bool = True
+    # the reference uses the exact ConvTranspose inverse only for the ERA5
+    # (721, 1440) geometry and a linear un-patchify otherwise
+    # (vit_nlc.py:628-632)
+    use_conv_transpose: bool = True
     name: str = "vaeformer"
 
     @property
@@ -182,7 +186,7 @@ class VAEformer(nn.Module):
             img_size=c.img_size, patch_size=c.patch_size, patch_stride=c.patch_stride,
             out_chans=c.in_chans, embed_dim=c.y_channels, depth=c.depth,
             num_heads=c.num_heads, window_sizes=c.window_sizes, interval=c.interval,
-            dtype=self.dtype,
+            use_conv_transpose=c.use_conv_transpose, dtype=self.dtype,
         )
         if c.lower_dim:
             self.quant_conv = nn.Conv(

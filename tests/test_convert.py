@@ -301,3 +301,102 @@ def test_hyper_decoder_activation_parity(vit_nlc):
     our_out = np.asarray(ours.apply({"params": params}, jnp.asarray(z)))
     assert our_out.shape == ref_out.shape
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_full_vaeformer_conversion_end_to_end(vit_nlc):
+    """Assemble a reference-named state dict from torch towers + 1x1 convs
+    + EB params, convert with convert_vaeformer_state_dict, and verify the
+    full encode -> hyper -> decode pipeline matches torch."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from cra5_tpu.models import VAEformer
+    from cra5_tpu.models.vaeformer import VAEformerConfig
+    from cra5_tpu.tools.convert_torch import convert_vaeformer_state_dict
+
+    torch.manual_seed(10)
+    nl = functools.partial(torch.nn.LayerNorm, eps=1e-6)
+    C_IN, EMB, ZC, YW = 6, 8, 4, 16
+    g_a = vit_nlc.ViT_Encoder(
+        img_size=(40, 40), patch_size=(10, 10), patch_stride=(10, 10),
+        in_chans=C_IN, z_dim=None, embed_dim=YW, depth=4, num_heads=2,
+        mlp_ratio=4.0, qkv_bias=True, window_size=[(2, 2), (1, 4), (4, 1)],
+        interval=2, use_abs_pos_emb=True, window=True,
+    ).eval()
+    g_s = vit_nlc.ViT_Decoder(
+        img_size=(40, 40), patch_size=(10, 10), patch_stride=(10, 10),
+        out_chans=C_IN, embed_dim=YW, depth=4, num_heads=2, mlp_ratio=4.0,
+        qkv_bias=True, window_size=[(2, 2), (1, 4), (4, 1)], interval=2,
+        window=True,
+    ).eval()
+    h_a = vit_nlc.HyperpriorEncoder(
+        img_size=(4, 4), patch_size=(2, 2), patch_stride=(2, 2),
+        in_chans=EMB, z_dim=ZC, embed_dim=12, depth=4, num_heads=2,
+        mlp_ratio=4.0, qkv_bias=True, window_size=(2, 2), interval=1,
+        use_abs_pos_emb=True, window=False, norm_layer=nl,
+    ).eval()
+    h_s = vit_nlc.HyperpriorDecoder(
+        img_size=(4, 4), patch_size=(2, 2), patch_stride=(2, 2),
+        out_chans=EMB, z_dim=ZC, embed_dim=12, depth=4, num_heads=2,
+        mlp_ratio=4.0, qkv_bias=True, window_size=(2, 2), interval=1,
+        window=False, norm_layer=nl,
+    ).eval()
+    quant_conv = torch.nn.Conv2d(2 * YW, 2 * EMB, 1)
+    post_quant_conv = torch.nn.Conv2d(EMB, YW, 1)
+
+    sd = {}
+    for prefix, mod in (
+        ("g_a", g_a), ("g_s", g_s), ("h_a", h_a), ("h_s", h_s),
+        ("quant_conv", quant_conv), ("post_quant_conv", post_quant_conv),
+    ):
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    # EB params in reference naming
+    for i in range(5):
+        sd[f"entropy_bottleneck._matrix{i}"] = torch.randn(ZC, 3 if i < 4 else 1, 1 if i == 0 else 3)
+    sd["entropy_bottleneck._matrix0"] = torch.randn(ZC, 3, 1)
+    for i in range(5):
+        out_f = 3 if i < 4 else 1
+        sd[f"entropy_bottleneck._bias{i}"] = torch.randn(ZC, out_f, 1)
+        if i < 4:
+            sd[f"entropy_bottleneck._factor{i}"] = torch.randn(ZC, out_f, 1)
+    sd["entropy_bottleneck.quantiles"] = torch.randn(ZC, 1, 3)
+    # fix matrix shapes to (C, f_out, f_in) chain 1-3-3-3-3-1
+    dims = [1, 3, 3, 3, 3, 1]
+    for i in range(5):
+        sd[f"entropy_bottleneck._matrix{i}"] = torch.randn(ZC, dims[i + 1], dims[i])
+
+    variables, tables = convert_vaeformer_state_dict(sd, depth=4)
+
+    cfg = VAEformerConfig(
+        in_chans=C_IN, img_size=(40, 40), patch_size=(10, 10), patch_stride=(10, 10),
+        embed_dim=EMB, y_channels=YW, z_channels=ZC, depth=4, num_heads=2,
+        window_sizes=((2, 2), (1, 4), (4, 1)), interval=2,
+        hyper_embed_dim=12, hyper_depth=4, hyper_num_heads=2, hyper_patch=(2, 2),
+        use_conv_transpose=False,
+        name="conv_test",
+    )
+    model = VAEformer(cfg)
+
+    x = np.random.default_rng(11).normal(size=(1, C_IN, 40, 40)).astype(np.float32)
+    with torch.no_grad():
+        tx = torch.from_numpy(x)
+        moments_t = quant_conv(g_a(tx))
+        y_t = moments_t.chunk(2, 1)[0]
+        z_t = h_a(y_t)
+        params_t = h_s(z_t)
+        xhat_t = g_s(post_quant_conv(y_t))
+
+    jx = jnp.asarray(x)
+    moments_j = model.apply(variables, jx, method=VAEformer.encode_moments)
+    np.testing.assert_allclose(np.asarray(moments_j), moments_t.numpy(), rtol=1e-4, atol=1e-4)
+    y_j = jnp.split(moments_j, 2, axis=1)[0]
+    z_j = model.apply(variables, y_j, method=lambda m, v: m.h_a(v))
+    np.testing.assert_allclose(np.asarray(z_j), z_t.numpy(), rtol=1e-4, atol=1e-4)
+    scales_j, means_j = model.apply(variables, z_j, method=VAEformer.hyper_params)
+    params_j = np.concatenate([np.asarray(scales_j), np.asarray(means_j)], axis=1)
+    np.testing.assert_allclose(params_j, params_t.numpy(), rtol=1e-4, atol=2e-4)
+    xhat_j = model.apply(variables, y_j, method=VAEformer.decode_y)
+    np.testing.assert_allclose(np.asarray(xhat_j), xhat_t.numpy(), rtol=1e-4, atol=2e-4)
