@@ -35,12 +35,13 @@ def main():
 
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))  # batched 24h-style encode
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else jnp.float32
 
     cfg = vaeformer_268()
     model = VAEformer(cfg, dtype=dtype)
     rng = jax.random.PRNGKey(0)
-    x = jax.random.normal(rng, (1, cfg.in_chans, *cfg.img_size), jnp.float32)
+    x = jax.random.normal(rng, (batch, cfg.in_chans, *cfg.img_size), jnp.float32)
     t0 = time.time()
     variables = jax.jit(model.init)(rng, x)
     jax.block_until_ready(variables)
@@ -71,7 +72,7 @@ def main():
         nbytes = sum(len(s[0]) for s in (out["strings"][0], out["strings"][1]))
 
     mean_t = float(np.mean(times))
-    throughput = 1.0 / mean_t
+    throughput = batch / mean_t  # per-sample roundtrips/s
     baseline = 1.0 / (0.0983 + 0.0343)  # reference GPU roundtrips/sec
     result = {
         "metric": "era5_268v_roundtrips_per_sec_per_chip",

@@ -67,6 +67,8 @@ class VAEformerConfig:
     # (721, 1440) geometry and a linear un-patchify otherwise
     # (vit_nlc.py:628-632)
     use_conv_transpose: bool = True
+    # rematerialize transformer blocks during training (memory for FLOPs)
+    remat: bool = False
     name: str = "vaeformer"
 
     @property
@@ -180,13 +182,13 @@ class VAEformer(nn.Module):
             img_size=c.img_size, patch_size=c.patch_size, patch_stride=c.patch_stride,
             in_chans=c.in_chans, embed_dim=c.y_channels, depth=c.depth,
             num_heads=c.num_heads, window_sizes=c.window_sizes, interval=c.interval,
-            dtype=self.dtype,
+            remat=c.remat, dtype=self.dtype,
         )
         self.g_s = ViTDecoder(
             img_size=c.img_size, patch_size=c.patch_size, patch_stride=c.patch_stride,
             out_chans=c.in_chans, embed_dim=c.y_channels, depth=c.depth,
             num_heads=c.num_heads, window_sizes=c.window_sizes, interval=c.interval,
-            use_conv_transpose=c.use_conv_transpose, dtype=self.dtype,
+            use_conv_transpose=c.use_conv_transpose, remat=c.remat, dtype=self.dtype,
         )
         if c.lower_dim:
             self.quant_conv = nn.Conv(

@@ -30,6 +30,12 @@ from .patch_embed import PatchEmbed, PatchUnembed
 from .pos_embed import get_2d_sincos_pos_embed
 
 
+def _block_cls(remat: bool):
+    """Optionally rematerialized Block: trades recompute for activation
+    memory in the 24-deep ViT-L towers during training (jax.checkpoint)."""
+    return nn.remat(Block, static_argnums=(2, 3, 4)) if remat else Block
+
+
 def _win_for_block(
     i: int,
     window: bool,
@@ -66,6 +72,7 @@ class ViTEncoder(nn.Module):
     interval: int = 4
     z_dim: Optional[int] = None
     drop_path_rate: float = 0.0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,8 +98,8 @@ class ViTEncoder(nn.Module):
         n_seq = self.depth // 2  # sequential slots (last one is dualized)
         dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
 
-        def make_block(i: int, name: str) -> Block:
-            return Block(
+        def make_block(i: int, name: str):
+            return _block_cls(self.remat)(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -141,6 +148,7 @@ class ViTDecoder(nn.Module):
     z_dim: Optional[int] = None
     use_conv_transpose: bool = True
     drop_path_rate: float = 0.0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -160,7 +168,7 @@ class ViTDecoder(nn.Module):
         dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
         for j in range(self.depth - self.depth // 2):
             i = self.depth // 2 + j
-            x = Block(
+            x = _block_cls(self.remat)(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,

@@ -156,3 +156,34 @@ def test_masked_conv_causality():
     assert np.allclose(y0[0, :, 2, 2], y1[0, :, 2, 2])  # center blind to itself
     assert np.allclose(y0[0, :, :2], y1[0, :, :2])  # earlier rows unaffected
     assert not np.allclose(y0[0, :, 3], y1[0, :, 3])  # later rows see it
+
+
+def test_remat_blocks_match_and_train():
+    """Rematerialized towers produce identical outputs and gradients run."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from cra5_tpu.models import VAEformer
+    from cra5_tpu.models.vaeformer import vaeformer_tiny
+
+    cfg = vaeformer_tiny()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.in_chans, *cfg.img_size)) * 0.3
+    model = VAEformer(cfg)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    ref = model.apply(variables, x)["x_hat"]
+
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    model_r = VAEformer(cfg_r)
+    out = model_r.apply(variables, x)["x_hat"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def loss(params):
+        o = model_r.apply({"params": params}, x, training=True, rng=jax.random.PRNGKey(2))
+        return jnp.mean(jnp.square(o["x_hat"] - x))
+
+    g = jax.grad(loss)(variables["params"])
+    assert jnp.isfinite(
+        sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(g))
+    )

@@ -120,3 +120,27 @@ def test_era5_eval_tool(tmp_path, capsys):
 
     perfect = evaluate_fields(target, target)
     assert perfect["mean_wrmse"] < 1e-6
+
+
+@pytest.mark.slow
+def test_serve_tool(tmp_path, capsys):
+    """compress with recompress, then serve decodes the bins back."""
+    from cra5_tpu.tools import recompress, serve
+
+    rng = np.random.default_rng(0)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(2):
+        np.save(indir / f"ts{i}.npy", rng.normal(size=(8, 41, 40)).astype(np.float32))
+    bindir = tmp_path / "bins"
+    rc = recompress.main([str(indir), "-o", str(bindir), "--config", "tiny"])
+    assert rc == 0
+    capsys.readouterr()
+
+    outdir = tmp_path / "recon"
+    rc = serve.main([str(bindir), "-o", str(outdir), "--config", "tiny"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["decoded"] == 2
+    recon = np.load(outdir / "ts0.npy")
+    assert recon.shape == (8, 41, 40)
