@@ -444,6 +444,10 @@ class AutoregressiveCodec(_CodecBase):
 def make_codec(model, variables, coder: str = "v2", scale_table=None):
     """Pick the right codec for a zoo model."""
     kind = getattr(model, "CODEC_KIND", "hyper")
+    if kind == "vaeformer":
+        from .vaeformer import VAEformerCodec
+
+        return VAEformerCodec(model, variables, coder=coder, scale_table=scale_table)
     if kind == "autoregressive":
         return AutoregressiveCodec(model, variables, scale_table=scale_table)
     if kind == "elic":

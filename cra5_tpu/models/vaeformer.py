@@ -176,6 +176,8 @@ class VAEformer(nn.Module):
     cfg: VAEformerConfig
     dtype: jnp.dtype = jnp.float32
 
+    CODEC_KIND = "vaeformer"  # make_codec dispatches to VAEformerCodec
+
     def setup(self):
         c = self.cfg
         self.g_a = ViTEncoder(
@@ -455,10 +457,8 @@ class VAEformerCodec:
                 self._gc_coder.encode_from_device(out["y_sym"][i], gc_idx_dev[i])
                 for i in range(out["y_sym"].shape[0])
             ]
-            return {
-                "strings": [y_strings, z_strings],
-                "z_shape": tuple(int(s) for s in out["z_shape"]),
-            }
+            zs = tuple(int(s) for s in out["z_shape"])
+            return {"strings": [y_strings, z_strings], "z_shape": zs, "shape": zs}
 
         gc_idx_dev = build_indexes(
             jnp.asarray(out["scales"], jnp.float32), jnp.asarray(self.scale_table)
@@ -477,10 +477,8 @@ class VAEformerCodec:
             self._encode_stream(self._gc_table, None, y_sym[i], gc_idx[i])
             for i in range(y_sym.shape[0])
         ]
-        return {
-            "strings": [y_strings, z_strings],
-            "z_shape": tuple(int(s) for s in out["z_shape"]),
-        }
+        zs = tuple(int(s) for s in out["z_shape"])
+        return {"strings": [y_strings, z_strings], "z_shape": zs, "shape": zs}
 
     def decompress(
         self, strings: Sequence, z_shape: Tuple[int, int], return_format: str = "reconstructed"

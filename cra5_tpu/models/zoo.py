@@ -125,8 +125,11 @@ def load_model(
         variables = load_variables(path)
     else:
         if input_shape is None:
-            down = getattr(model, "downsampling_factor", 64)
-            input_shape = (1, in_channel, down, down)
+            if hasattr(model, "cfg"):  # VAEformer-family: fixed geometry
+                input_shape = (1, model.cfg.in_chans, *model.cfg.img_size)
+            else:
+                down = getattr(model, "downsampling_factor", 64)
+                input_shape = (1, in_channel, down, down)
         variables = init_model(model, input_shape, seed)
     codec = make_codec(model, variables, coder=coder)
     return model, variables, codec

@@ -155,3 +155,22 @@ def test_load_model_end_to_end():
     out = codec.compress(x)
     dec = codec.decompress(out["strings"], out["shape"])
     assert dec["x_hat"].shape == x.shape
+
+
+def test_make_codec_vaeformer_dispatch():
+    """make_codec routes VAEformer to its own codec; compress returns both
+    'shape' (tool convention) and 'z_shape' (reference convention)."""
+    import dataclasses
+
+    from cra5_tpu.models.vaeformer import VAEformer, VAEformerCodec, vaeformer_tiny
+
+    cfg = vaeformer_tiny()
+    model = VAEformer(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.in_chans, *cfg.img_size)) * 0.3
+    variables = model.init(jax.random.PRNGKey(1), x)
+    codec = make_codec(model, variables)
+    assert isinstance(codec, VAEformerCodec)
+    out = codec.compress(x)
+    assert out["shape"] == out["z_shape"]
+    dec = codec.decompress(out["strings"], out["shape"])
+    assert dec["x_hat"].shape == x.shape
