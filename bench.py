@@ -61,14 +61,18 @@ def main():
         t0 = _t(f"warmup decompress {i}", t0)
     compile_s = time.time() - t0
 
-    times = []
+    times, enc_times, dec_times = [], [], []
     nbytes = 0
     for _ in range(iters):
         t0 = time.time()
         out = codec.compress(x)
+        t1 = time.time()
         dec = codec.decompress(out["strings"], out["z_shape"])
         jax.block_until_ready(dec["x_hat"])
-        times.append(time.time() - t0)
+        t2 = time.time()
+        times.append(t2 - t0)
+        enc_times.append(t1 - t0)
+        dec_times.append(t2 - t1)
         nbytes = sum(len(s[0]) for s in (out["strings"][0], out["strings"][1]))
 
     mean_t = float(np.mean(times))
@@ -86,6 +90,9 @@ def main():
             {
                 "detail": {
                     "mean_roundtrip_s": round(mean_t, 4),
+                    "mean_encode_s": round(float(np.mean(enc_times)), 4),
+                    "mean_decode_s": round(float(np.mean(dec_times)), 4),
+                    "batch": batch,
                     "per_iter_s": [round(t, 4) for t in times],
                     "bin_bytes": nbytes,
                     "bpp_721x1440": round(8 * nbytes / (721 * 1440), 4),
