@@ -1,23 +1,26 @@
-"""Pallas fused (flash) attention for TPU.
+"""Pallas fused (flash) attention for TPU — forward and backward.
 
 The reference optionally uses the flash-attn CUDA kernel for its global
 attention blocks over 10 368 tokens (/root/reference/cra5/models/
 vaeformer/vit_nlc.py:25-29, :105-110); this is the TPU-native
-equivalent: an online-softmax blockwise kernel that never materializes
-the (N x N) logits in HBM, with f32 accumulation islands (the softmax
-feeds the entropy-model path, SURVEY.md §7 hard part 3).
+equivalent: online-softmax blockwise kernels that never materialize the
+(N x N) logits in HBM in either direction — the einsum backward's
+f32[H, N, N] buffers alone exceed a 16 GB chip for the 268v training
+step. f32 accumulation throughout (the softmax feeds the entropy-model
+path, SURVEY.md §7 hard part 3).
 
-Forward is a Pallas kernel; backward is a rematerialized einsum pass
-(custom_vjp), so the op is trainable while the inference/serving path —
-where the VAEformer encode/decode hot loop lives — gets the fused
-kernel. Non-divisible sequence lengths are zero-padded and masked via
-block-position iota, keeping every shape static for XLA.
+Forward emits the log-sum-exp rows; backward recomputes probabilities
+blockwise (FlashAttention-2 construction): one kernel accumulates dQ
+over key blocks, a second accumulates dK/dV over query blocks.
+Non-divisible sequence lengths are zero-padded; key padding is masked
+via block-position iota, and zero-padded dO rows make padded queries
+contribute exactly zero to dK/dV.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,11 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_len: int, scale: float):
-    """One (q-block x full-K) program: online-softmax accumulation.
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"  # Mosaic needs real TPU
 
-    q_ref: (1, BLOCK_Q, D); k_ref/v_ref: (1, N_pad, D); o_ref: (1, BLOCK_Q, D).
-    """
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------- forward
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
+                seq_len: int, scale: float):
+    """q_ref: (1, BLOCK_Q, D); k_ref/v_ref: (1, N_pad, D);
+    o_ref: (1, BLOCK_Q, D); lse_ref: (1, BLOCK_Q)."""
     _, block_q, d = q_ref.shape
     n_pad = k_ref.shape[1]
     num_k = n_pad // block_k
@@ -44,8 +55,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_len: int, sca
         v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BLOCK_Q, BLOCK_K)
-        # mask out zero-padded keys past seq_len
+        )
         kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(kpos < seq_len, logits, _NEG_INF)
 
@@ -62,19 +72,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_len: int, sca
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _flash_forward(
-    q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
-    block_q: int, block_k: int,
-) -> jax.Array:
-    """q, k, v: (B, H, N, D) -> (B, H, N, D)."""
+def _flash_forward(q, k, v, scale, block_q, block_k):
+    """(B, H, N, D) -> (out, lse) with lse (B*H, N_pad_q) f32."""
     B, H, N, D = q.shape
     n_pad_q = _round_up(N, block_q)
     n_pad_k = _round_up(N, block_k)
@@ -89,22 +94,152 @@ def _flash_forward(
         vf = jnp.pad(vf, ((0, 0), (0, n_pad_k - N), (0, 0)))
 
     grid = (B * H, n_pad_q // block_q)
-    interpret = jax.default_backend() == "cpu"  # Mosaic needs real TPU
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, block_k=block_k, seq_len=N, scale=scale
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=block_k, seq_len=N, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, n_pad_q, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, n_pad_q), jnp.float32),
         ),
-        out_shape=jax.ShapeDtypeStruct((B * H, n_pad_q, D), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad_k, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad_k, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
+        out_specs=(
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
     )(qf, kf, vf)
-    return out[:, :N, :].reshape(B, H, N, D)
+    return out[:, :N, :].reshape(B, H, N, D), lse
+
+
+# ---------------------------------------------------------------- backward
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, block_k: int, seq_len: int, scale: float):
+    """Accumulate dQ for one q block over all key blocks."""
+    _, block_q, d = q_ref.shape
+    n_pad = k_ref.shape[1]
+    num_k = n_pad // block_k
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+
+    def body(kb, dq):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(kpos < seq_len, logits, _NEG_INF)
+        p = jnp.exp(logits - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, block_q: int, seq_len: int, scale: float):
+    """Accumulate dK/dV for one key block over all query blocks. Padded
+    query rows have zero dO and zero delta, so they contribute nothing."""
+    _, block_k, d = k_ref.shape
+    n_pad = q_ref.shape[1]
+    num_q = n_pad // block_q
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    kb = pl.program_id(1)
+    kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    kmask = kpos < seq_len  # (1, block_k)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        logits = jnp.where(kmask, logits, _NEG_INF)
+        p = jnp.exp(logits - lse)  # (block_q, block_k)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
+    B, H, N, D = q.shape
+    n_pad_q = lse.shape[1]
+    n_pad_k = _round_up(N, block_k)
+
+    def pad_to(x, n):
+        xf = x.reshape(B * H, N, D)
+        return jnp.pad(xf, ((0, 0), (0, n - N), (0, 0))) if n != N else xf
+
+    qf = pad_to(q, n_pad_q)
+    dof = pad_to(g, n_pad_q)
+    kf = pad_to(k, n_pad_k)
+    vf = pad_to(v, n_pad_k)
+    of = pad_to(out, n_pad_q)
+    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+
+    spec_q = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    spec_kfull = pl.BlockSpec((1, n_pad_k, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    spec_row_q = pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k, seq_len=N, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B * H, n_pad_q, D), q.dtype),
+        grid=(B * H, n_pad_q // block_q),
+        in_specs=[spec_q, spec_kfull, spec_kfull, spec_q, spec_row_q, spec_row_q],
+        out_specs=spec_q,
+        interpret=_interpret(),
+    )(qf, kf, vf, dof, lse, delta)
+
+    spec_k = pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    spec_qfull = pl.BlockSpec((1, n_pad_q, D), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
+    spec_row_full = pl.BlockSpec((1, n_pad_q), lambda b, j: (b, 0), memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, seq_len=N, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, n_pad_k, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, n_pad_k, D), v.dtype),
+        ),
+        grid=(B * H, n_pad_k // block_k),
+        in_specs=[spec_qfull, spec_k, spec_k, spec_qfull, spec_row_full, spec_row_full],
+        out_specs=(spec_k, spec_k),
+        interpret=_interpret(),
+    )(qf, kf, vf, dof, lse, delta)
+
+    unpad = lambda x, n: x[:, :N, :].reshape(B, H, N, D)
+    return unpad(dq, n_pad_q), unpad(dk, n_pad_k), unpad(dv, n_pad_k)
 
 
 def _reference_attention(q, k, v, scale):
@@ -125,29 +260,25 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 512,
 ) -> jax.Array:
-    """Fused attention over (B, H, N, D). Falls back to the einsum path on
-    backends without Mosaic (CPU tests run the same math via the VJP's
-    rematerialized reference)."""
+    """Fused attention over (B, H, N, D); trainable (flash backward)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash_forward(q, k, v, scale, block_q, block_k)
+    out, _ = _flash_forward(q, k, v, scale, block_q, block_k)
+    return out
 
 
 def _fa_fwd(q, k, v, scale, block_q, block_k):
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    out = _flash_forward(q, k, v, scale, block_q, block_k)
-    return out, (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
 
 
 def _fa_bwd(scale, block_q, block_k, residuals, g):
-    # Rematerialized standard backward: correctness-first, same memory
-    # profile as the XLA einsum path (the serving hot loop is forward-only).
-    q, k, v = residuals
+    q, k, v, out, lse = residuals
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_attention(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    return _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k)
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
