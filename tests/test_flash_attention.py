@@ -79,3 +79,27 @@ def test_vit_encoder_flash_on_matches_off():
     finally:
         set_flash_attention("auto")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_train_step_through_flash(tmp_path):
+    """Gradients flow through the Pallas forward+backward inside a full
+    training step (the exact 268v-on-TPU configuration, tiny geometry)."""
+    import dataclasses
+
+    from cra5_tpu.models import VAEformer
+    from cra5_tpu.models.vaeformer import vaeformer_tiny
+    from cra5_tpu.nn.blocks import set_flash_attention
+    from cra5_tpu.train import Trainer, TrainerConfig
+
+    cfg = dataclasses.replace(vaeformer_tiny(), remat=True)
+    model = VAEformer(cfg)
+    trainer = Trainer(model, TrainerConfig(use_ema=False, log_every=10**9, ckpt_every=10**9))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.in_chans, *cfg.img_size)) * 0.3
+    set_flash_attention("on")
+    try:
+        state = trainer.init_state(x)
+        state, metrics = trainer._step_fn(state, x, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1
+    finally:
+        set_flash_attention("auto")
