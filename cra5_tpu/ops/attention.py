@@ -42,7 +42,8 @@ def _round_up(x: int, m: int) -> int:
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
                 seq_len: int, scale: float):
     """q_ref: (1, BLOCK_Q, D); k_ref/v_ref: (1, N_pad, D);
-    o_ref: (1, BLOCK_Q, D); lse_ref: (1, BLOCK_Q)."""
+    o_ref: (1, BLOCK_Q, D); lse_ref: (1, BLOCK_Q, 1) — the trailing
+    singleton keeps the block Mosaic-tileable."""
     _, block_q, d = q_ref.shape
     n_pad = k_ref.shape[1]
     num_k = n_pad // block_k
@@ -75,7 +76,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
     l = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0] = m + jnp.log(l)
 
 
 def _flash_forward(q, k, v, scale, block_q, block_k):
@@ -98,7 +99,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
         functools.partial(_fwd_kernel, block_k=block_k, seq_len=N, scale=scale),
         out_shape=(
             jax.ShapeDtypeStruct((B * H, n_pad_q, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, n_pad_q), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, n_pad_q, 1), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -108,7 +109,7 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=_interpret(),
     )(qf, kf, vf)
@@ -125,8 +126,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0]      # (block_q, 1)
+    delta = delta_ref[0]  # (block_q, 1)
 
     def body(kb, dq):
         k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
@@ -167,8 +168,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qb * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q), :]      # (block_q, 1)
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -207,11 +208,11 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
     kf = pad_to(k, n_pad_k)
     vf = pad_to(v, n_pad_k)
     of = pad_to(out, n_pad_q)
-    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True)
 
     spec_q = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
     spec_kfull = pl.BlockSpec((1, n_pad_k, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
-    spec_row_q = pl.BlockSpec((1, block_q), lambda b, i: (b, i), memory_space=pltpu.VMEM)
+    spec_row_q = pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k, seq_len=N, scale=scale),
@@ -224,7 +225,7 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
 
     spec_k = pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
     spec_qfull = pl.BlockSpec((1, n_pad_q, D), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
-    spec_row_full = pl.BlockSpec((1, n_pad_q), lambda b, j: (b, 0), memory_space=pltpu.VMEM)
+    spec_row_full = pl.BlockSpec((1, n_pad_q, 1), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q, seq_len=N, scale=scale),
