@@ -144,3 +144,22 @@ def test_serve_tool(tmp_path, capsys):
     assert report["decoded"] == 2
     recon = np.load(outdir / "ts0.npy")
     assert recon.shape == (8, 41, 40)
+
+
+def test_video_bench_tool(tmp_path, capsys):
+    from PIL import Image
+
+    from cra5_tpu.tools import video_bench
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "train" / "c0"
+    d.mkdir(parents=True)
+    for f in range(3):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(d / f"{f}.png")
+    rc = video_bench.main(["jpeg", str(tmp_path), "-q", "30", "70"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["results"]["bpp"]) == 2
+
+    rc = video_bench.main(["x265", str(tmp_path)])
+    assert rc == 2
