@@ -149,3 +149,30 @@ def test_export_codec(tmp_path):
 def test_codec_bad_args():
     with pytest.raises(subprocess.CalledProcessError):
         run_codec("encode", "/nonexistent", "/nonexistent", "/tmp/x")
+
+
+def test_rdoq_jax_matches_behavior(latents, table):
+    """The JAX RDOQ mirrors the C++ search: distortion-dominant lambda
+    reproduces round(); rate-dominant stays within +-1 and never costs
+    more bits than round()."""
+    import jax.numpy as jnp
+
+    from cra5_tpu.coder import native
+    from cra5_tpu.ops.rdoq import rdoq
+
+    x = latents[0]  # (C, H, W), already zero-ish mean
+    C = x.shape[0]
+    idx = np.broadcast_to(np.arange(C, dtype=np.int32)[:, None, None], x.shape)
+
+    q_hi = np.asarray(rdoq(jnp.asarray(x), jnp.asarray(idx), table, lmbda=1e6))
+    np.testing.assert_array_equal(q_hi, np.round(x).astype(np.int32))
+
+    q_lo = np.asarray(rdoq(jnp.asarray(x), jnp.asarray(idx), table, lmbda=0.05))
+    assert np.all(np.abs(q_lo - np.round(x)) <= 1)
+
+    enc = lambda s: len(
+        native.encode_with_indexes(
+            s, idx, table.quantized_cdf, table.cdf_length, table.offset
+        )
+    )
+    assert enc(q_lo) <= enc(q_hi)
