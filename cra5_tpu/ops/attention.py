@@ -151,47 +151,48 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, block_q: int, seq_len: int, scale: float):
-    """Accumulate dK/dV for one key block over all query blocks. Padded
-    query rows have zero dO and zero delta, so they contribute nothing."""
+                    dk_ref, dv_ref, *, seq_len: int, scale: float):
+    """One (key block, query block) program on a (BH, k_blocks, q_blocks)
+    grid with q innermost: dk/dv output blocks are revisited across the q
+    dimension and accumulated in place (zeroed at q == 0). Padded query
+    rows have zero dO and zero delta, so they contribute nothing."""
     _, block_k, d = k_ref.shape
-    n_pad = q_ref.shape[1]
-    num_q = n_pad // block_q
 
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     kb = pl.program_id(1)
+    qb = pl.program_id(2)
     kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     kmask = kpos < seq_len  # (1, block_k)
 
-    def body(qb, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qb * block_q, block_q), :]      # (block_q, 1)
-        delta = delta_ref[0, pl.ds(qb * block_q, block_q), :]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        logits = jnp.where(kmask, logits, _NEG_INF)
-        p = jnp.exp(logits - lse)  # (block_q, block_k)
-        dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - delta)
-        dk = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return dk, dv
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]      # (block_q, 1)
+    delta = delta_ref[0]  # (block_q, 1)
 
-    dk0 = jnp.zeros((block_k, d), jnp.float32)
-    dv0 = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    logits = jnp.where(kmask, logits, _NEG_INF)
+    p = jnp.exp(logits - lse)  # (block_q, block_k)
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk.astype(dk_ref.dtype)
+    dv_ref[0] += dv.astype(dv_ref.dtype)
 
 
 def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
@@ -223,24 +224,32 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k):
         interpret=_interpret(),
     )(qf, kf, vf, dof, lse, delta)
 
-    spec_k = pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
-    spec_qfull = pl.BlockSpec((1, n_pad_q, D), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
-    spec_row_full = pl.BlockSpec((1, n_pad_q, 1), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
+    # (BH, k_blocks, q_blocks) grid, q innermost: the dk/dv output blocks'
+    # index map ignores the q dimension, so Mosaic keeps them resident in
+    # VMEM across q steps and the kernel accumulates in place (f32).
+    spec_k3 = pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM)
+    spec_q3 = pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM)
+    spec_row3 = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM)
+    spec_acc = pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, block_q=block_q, seq_len=N, scale=scale),
+        functools.partial(_bwd_dkv_kernel, seq_len=N, scale=scale),
         out_shape=(
-            jax.ShapeDtypeStruct((B * H, n_pad_k, D), k.dtype),
-            jax.ShapeDtypeStruct((B * H, n_pad_k, D), v.dtype),
+            jax.ShapeDtypeStruct((B * H, n_pad_k, D), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, n_pad_k, D), jnp.float32),
         ),
-        grid=(B * H, n_pad_k // block_k),
-        in_specs=[spec_qfull, spec_k, spec_k, spec_qfull, spec_row_full, spec_row_full],
-        out_specs=(spec_k, spec_k),
+        grid=(B * H, n_pad_k // block_k, n_pad_q // block_q),
+        in_specs=[spec_q3, spec_k3, spec_k3, spec_q3, spec_row3, spec_row3],
+        out_specs=(spec_acc, spec_acc),
         interpret=_interpret(),
     )(qf, kf, vf, dof, lse, delta)
 
     unpad = lambda x, n: x[:, :N, :].reshape(B, H, N, D)
-    return unpad(dq, n_pad_q), unpad(dk, n_pad_k), unpad(dv, n_pad_k)
+    return (
+        unpad(dq, n_pad_q),
+        unpad(dk, n_pad_k).astype(k.dtype),
+        unpad(dv, n_pad_k).astype(v.dtype),
+    )
 
 
 def _reference_attention(q, k, v, scale):
