@@ -147,3 +147,26 @@ def mean_abs_error(
     """Per-variable mean absolute error (the Readme.md:304-380 table)."""
     ae = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
     return jnp.mean(ae, axis=(0, 2, 3)) if per_channel else jnp.mean(ae)
+
+
+def acc(
+    pred: jax.Array,
+    target: jax.Array,
+    climatology: jax.Array,
+    weights: Optional[jax.Array] = None,
+    per_channel: bool = True,
+) -> jax.Array:
+    """Latitude-weighted anomaly correlation coefficient (WeatherBench):
+    corr of (pred - clim) and (target - clim) over (B, H, W) per channel.
+    Completes the reference's NWP-parity metric set (Readme.md:158-161
+    RMSE/ACC plots; the reference computes these in the external nwp pkg).
+    """
+    if weights is None:
+        weights = jnp.asarray(lat_weights(pred.shape[-2]))
+    w = weights.reshape(1, 1, -1, 1)
+    pa = (pred - climatology).astype(jnp.float32)
+    ta = (target - climatology).astype(jnp.float32)
+    axes = (0, 2, 3) if per_channel else None
+    num = jnp.sum(w * pa * ta, axis=axes)
+    den = jnp.sqrt(jnp.sum(w * pa * pa, axis=axes) * jnp.sum(w * ta * ta, axis=axes))
+    return num / jnp.maximum(den, 1e-12)

@@ -163,3 +163,22 @@ def test_video_bench_tool(tmp_path, capsys):
 
     rc = video_bench.main(["x265", str(tmp_path)])
     assert rc == 2
+
+
+def test_acc_metric():
+    import jax.numpy as jnp
+
+    from cra5_tpu.metrics import acc
+
+    rng = np.random.default_rng(0)
+    clim = jnp.asarray(rng.normal(size=(1, 2, 16, 32)).astype(np.float32))
+    anom = jnp.asarray(rng.normal(size=(1, 2, 16, 32)).astype(np.float32))
+    target = clim + anom
+    # perfect forecast -> ACC 1; climatology forecast -> ACC ~0
+    perfect = np.asarray(acc(target, target, clim))
+    np.testing.assert_allclose(perfect, 1.0, atol=1e-5)
+    clim_fc = np.asarray(acc(clim, target, clim))
+    assert np.all(np.abs(clim_fc) < 0.2)
+    # anti-correlated forecast -> ACC -1
+    anti = np.asarray(acc(clim - anom, target, clim))
+    np.testing.assert_allclose(anti, -1.0, atol=1e-5)
