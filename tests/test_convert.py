@@ -400,3 +400,34 @@ def test_full_vaeformer_conversion_end_to_end(vit_nlc):
     np.testing.assert_allclose(params_j, params_t.numpy(), rtol=1e-4, atol=2e-4)
     xhat_j = model.apply(variables, y_j, method=VAEformer.decode_y)
     np.testing.assert_allclose(np.asarray(xhat_j), xhat_t.numpy(), rtol=1e-4, atol=2e-4)
+
+
+def test_encoder_parity_with_window_padding(vit_nlc):
+    """Window (3,3) on a 4x4 token grid pads to 6x6 inside attention —
+    the 268v model hits this with its (48,12)/(12,48) windows on 72x144.
+    Both implementations zero-pad, attend unmasked, and crop."""
+    import jax.numpy as jnp
+
+    from cra5_tpu.nn.vit import ViTEncoder
+    from cra5_tpu.tools.convert_torch import convert_vit_tower
+
+    torch.manual_seed(20)
+    ref = vit_nlc.ViT_Encoder(
+        img_size=(40, 40), patch_size=(10, 10), patch_stride=(10, 10),
+        in_chans=5, z_dim=None, embed_dim=16, depth=4, num_heads=2,
+        mlp_ratio=4.0, qkv_bias=True, window_size=[(3, 3)],
+        interval=2, use_abs_pos_emb=True, window=True,
+    ).eval()
+    sd = {f"g_a.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_vit_tower(sd, "g_a")
+
+    ours = ViTEncoder(
+        img_size=(40, 40), patch_size=(10, 10), patch_stride=(10, 10),
+        in_chans=5, embed_dim=16, depth=4, num_heads=2,
+        window_sizes=((3, 3),), interval=2,
+    )
+    x = np.random.default_rng(21).normal(size=(1, 5, 40, 40)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+    our_out = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-4)
