@@ -67,3 +67,14 @@ def test_elic_roundtrip(tiny_elic):
     # determinism
     out2 = codec.compress(x)
     assert [bytes(s) for s in out["strings"][0]] == [bytes(s) for s in out2["strings"][0]]
+
+
+@pytest.mark.slow
+def test_elic_roundtrip_batch(tiny_elic):
+    model, variables, _ = tiny_elic
+    codec = ElicCodec(model, variables)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 3, 128, 128))
+    out = codec.compress(x)
+    assert len(out["strings"][0]) == 2 * model.num_slices * 2  # passes x B
+    dec = codec.decompress(out["strings"], out["shape"], out["y_shape"])
+    assert dec["x_hat"].shape == x.shape

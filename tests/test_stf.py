@@ -71,3 +71,16 @@ def test_stf_roundtrip(tiny_stf):
     # forward x_hat (STE path) should equal the coded reconstruction
     fwd = np.asarray(codec.forward(x)["x_hat"])
     np.testing.assert_allclose(np.asarray(dec["x_hat"]), fwd, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_stf_roundtrip_batch(tiny_stf):
+    from cra5_tpu.models.stf2022 import CharmCodec
+
+    model, variables, _ = tiny_stf
+    codec = CharmCodec(model, variables)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 3, 128, 128))
+    out = codec.compress(x)
+    assert len(out["strings"][0]) == model.num_slices * 2
+    dec = codec.decompress(out["strings"], out["shape"])
+    assert dec["x_hat"].shape == x.shape
