@@ -53,13 +53,14 @@ def main():
     t0 = _t("cdf tables", t0)
 
     # warmup (compilation)
+    warmup_start = time.time()
     for i in range(warmup):
         out = codec.compress(x)
         t0 = _t(f"warmup compress {i}", t0)
         dec = codec.decompress(out["strings"], out["z_shape"])
         jax.block_until_ready(dec["x_hat"])
         t0 = _t(f"warmup decompress {i}", t0)
-    compile_s = time.time() - t0
+    compile_s = time.time() - warmup_start
 
     times, enc_times, dec_times = [], [], []
     nbytes = 0

@@ -122,6 +122,15 @@ class ImageCodec(_CodecBase):
             self._hyper_from_z = jax.jit(
                 lambda v, z: model.apply(v, z, method=cls.hyper_params_from_z)
             )
+        # single-dispatch helpers (eager ops pay a round trip each on
+        # tunneled TPU backends)
+        self._scale_table_dev = jnp.asarray(self.scale_table)
+        self._gc_index = jax.jit(
+            lambda scales: build_indexes(
+                scales.astype(jnp.float32), self._scale_table_dev
+            )
+        )
+        self._chan_idx_cache = {}
 
     @property
     def kind(self) -> str:
@@ -130,12 +139,14 @@ class ImageCodec(_CodecBase):
     def forward(self, x):
         return self._forward(self.variables, jnp.asarray(x))
 
-    @staticmethod
-    def _channel_indexes_dev(shape) -> jnp.ndarray:
-        C = shape[1]
-        return jnp.broadcast_to(
-            jnp.arange(C, dtype=jnp.int32)[None, :, None, None], shape
-        )
+    def _channel_indexes_dev(self, shape) -> jnp.ndarray:
+        shape = tuple(int(s) for s in shape)
+        if shape not in self._chan_idx_cache:
+            C = shape[1]
+            self._chan_idx_cache[shape] = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32)[None, :, None, None], shape
+            )
+        return self._chan_idx_cache[shape]
 
     def compress(self, x) -> Dict[str, Any]:
         self._require_tables()
@@ -160,9 +171,7 @@ class ImageCodec(_CodecBase):
             }
 
         if self.coder == "v2":
-            gc_idx = build_indexes(
-                jnp.asarray(out["scales"], jnp.float32), jnp.asarray(self.scale_table)
-            )
+            gc_idx = self._gc_index(out["scales"])
             z_idx = self._channel_indexes_dev(out["z_sym"].shape)
             z_strings = [
                 self._eb_coder.encode_from_device(out["z_sym"][i], z_idx[i])
@@ -240,9 +249,7 @@ class ImageCodec(_CodecBase):
                 ]
             )
             scales, means = self._hyper_from_z(self.variables, z_sym)
-            gc_idx = build_indexes(
-                jnp.asarray(scales, jnp.float32), jnp.asarray(self.scale_table)
-            )
+            gc_idx = self._gc_index(scales)
             y_sym = jnp.stack(
                 [
                     self._gc_coder.decode_to_device(_unwrap(y_strings[i]), gc_idx[i])

@@ -134,6 +134,11 @@ class ELIC2022(nn.Module):
 
     def setup(self):
         N, M = self.N, self.M
+        if sum(self.groups[1:]) != M:
+            raise ValueError(
+                f"M={M} must equal sum of channel groups {self.groups[1:]} "
+                f"(= {sum(self.groups[1:])}); adjust M or num_slices"
+            )
         self.g_a = _ElicAnalysis(N, M, name="g_a")
         self.g_s = _ElicSynthesis(N, self.in_channel, name="g_s")
         self.h_a = _ConvStack(
@@ -233,15 +238,13 @@ class ELIC2022(nn.Module):
 
             scales_hat = scales_anchor * amask + scales_non * (1 - amask)
             means_hat = means_anchor * amask + means_non * (1 - amask)
+            rng_i = jax.random.fold_in(rng, i + 1) if rng is not None else None
             _, lk = self.gaussian_conditional(
-                y_slice, scales_hat, means=means_hat, training=training, rng=rng
+                y_slice, scales_hat, means=means_hat, training=training, rng=rng_i
             )
             likelihoods.append(lk)
 
-            y_hat_slice = (quantize_ste(y_slice - means_hat) + means_hat) * amask + (
-                quantize_ste(y_slice - means_hat) + means_hat
-            ) * (1 - amask)
-            y_hat_slices.append(y_hat_slice)
+            y_hat_slices.append(quantize_ste(y_slice - means_hat) + means_hat)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=1)
         x_hat = self.g_s(y_hat)

@@ -443,7 +443,10 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
             jnp.concatenate([params, ctx_params], axis=1)
         )
         scales, means = jnp.split(gaussian_params, 2, axis=1)
-        _, y_likelihoods = self.gaussian_conditional(y, scales, means=means)
+        _, y_likelihoods = self.gaussian_conditional(
+            y, scales, means=means, training=training,
+            rng=jax.random.fold_in(rngs["gc"], 1) if "gc" in rngs else None,
+        )
         x_hat = self.g_s(y_hat)
         return {"x_hat": x_hat, "likelihoods": {"y": y_likelihoods, "z": z_likelihoods}}
 

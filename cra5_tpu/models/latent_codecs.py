@@ -151,11 +151,14 @@ class RasterScanLatentCodec(nn.Module):
     ) -> Dict[str, Any]:
         from ..entropy.ops import quantize
 
-        y_hat = quantize(y, "noise" if training else "dequantize", rng=rng)
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+        y_hat = quantize(y, "noise" if training else "dequantize", rng=rngs[0])
         ctx = self.context_prediction(y_hat)
         gp = self.entropy_parameters(jnp.concatenate([params, ctx], axis=1))
         scales, means = jnp.split(gp, 2, axis=1)
-        _, lk = self.gaussian_conditional(y, scales, means=means)
+        _, lk = self.gaussian_conditional(
+            y, scales, means=means, training=training, rng=rngs[1]
+        )
         return {"y_hat": y_hat, "likelihoods": {"y": lk}}
 
 

@@ -276,8 +276,9 @@ class TCM2023(nn.Module):
         likelihoods: List[jax.Array] = []
         for i, y_slice in enumerate(y_slices):
             mu, sigma = self.slice_params(latent_means, latent_scales, y_hat_slices, i)
+            rng_i = jax.random.fold_in(rng, i + 1) if rng is not None else None
             _, lk = self.gaussian_conditional(
-                y_slice, sigma, means=mu, training=training, rng=rng
+                y_slice, sigma, means=mu, training=training, rng=rng_i
             )
             likelihoods.append(lk)
             y_hat_slice = quantize_ste(y_slice - mu) + mu

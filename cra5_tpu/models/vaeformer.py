@@ -460,9 +460,11 @@ class VAEformerCodec:
             zs = tuple(int(s) for s in out["z_shape"])
             return {"strings": [y_strings, z_strings], "z_shape": zs, "shape": zs}
 
+        # uint8 shrinks the transfer 4x but only holds 256 table rows
+        idx_dtype = jnp.uint8 if len(self.scale_table) <= 256 else jnp.int32
         gc_idx_dev = build_indexes(
             jnp.asarray(out["scales"], jnp.float32), jnp.asarray(self.scale_table)
-        ).astype(jnp.uint8)
+        ).astype(idx_dtype)
         z_sym, y_sym, gc_idx = jax.device_get((out["z_sym"], out["y_sym"], gc_idx_dev))
         z_sym = np.asarray(z_sym)
         y_sym = np.asarray(y_sym)
@@ -522,10 +524,11 @@ class VAEformerCodec:
                 )
             )
             scales, means = self._scales_from_z(self.variables, z_sym)
+            idx_dtype = jnp.uint8 if len(self.scale_table) <= 256 else jnp.int32
             gc_idx = np.asarray(
                 build_indexes(
                     jnp.asarray(scales, jnp.float32), jnp.asarray(self.scale_table)
-                ).astype(jnp.uint8)
+                ).astype(idx_dtype)
             ).astype(np.int32)
             y_sym = jnp.asarray(
                 np.stack(

@@ -99,10 +99,17 @@ def main(argv=None):
 
     state = None
     if args.resume:
+        import itertools
+
         from ..train.checkpoints import load_variables
 
         variables = load_variables(args.resume)
-        first = next(iter(data))
+        # peek ONE batch from the single live iterator and chain it back —
+        # a second iter(data) would race a fresh producer thread against
+        # the same underlying generator and drop the peeked batch
+        it = iter(data)
+        first = next(it)
+        data = itertools.chain([first], it)
         state = trainer.init_state(trainer.shard_batch(first))
         state.params = variables["params"] if "params" in variables else variables
 
