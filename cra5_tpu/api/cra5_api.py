@@ -137,7 +137,7 @@ class cra5_api:
         if latent_type == "float":
             return y
         if latent_type == "quantized":
-            sym = self.codec._symbols_from_latent(self.codec.variables, y)
+            sym = self.codec._symbols_from_latent(self.codec.variables, y, self.codec._scale_table_dev)
             return sym["y_sym"].astype(jnp.float32) + sym["means"]
         raise ValueError(f"unknown latent_type {latent_type!r}")
 
@@ -160,7 +160,7 @@ class cra5_api:
             return self.codec.encode_latent(x)
         if return_format == "quantized":
             y = self.codec.encode_latent(x)
-            sym = self.codec._symbols_from_latent(self.codec.variables, y)
+            sym = self.codec._symbols_from_latent(self.codec.variables, y, self.codec._scale_table_dev)
             return sym["y_sym"].astype(jnp.float32) + sym["means"]
 
         output = self.codec.compress(x)

@@ -340,14 +340,30 @@ class VAEformerCodec:
         self._gc_table: Optional[CdfTable] = None
 
         cls = type(model)  # also hosts the baseline models (baseline.py)
+
+        def _with_gc_idx(out, table):
+            # fuse GC index building into the same dispatch as the model
+            out = dict(out)
+            out["gc_idx"] = build_indexes(
+                jnp.asarray(out["scales"], jnp.float32), table
+            )
+            return out
+
         self._encode_symbols = jax.jit(
-            lambda v, x: model.apply(v, x, method=cls.encode_symbols)
+            lambda v, x, table: _with_gc_idx(
+                model.apply(v, x, method=cls.encode_symbols), table
+            )
         )
         self._symbols_from_latent = jax.jit(
-            lambda v, y: model.apply(v, y, method=cls.symbols_from_latent)
+            lambda v, y, table: _with_gc_idx(
+                model.apply(v, y, method=cls.symbols_from_latent), table
+            )
         )
         self._scales_from_z = jax.jit(
-            lambda v, z: model.apply(v, z, method=cls.scales_from_z_symbols)
+            lambda v, z, table: _with_gc_idx(
+                dict(zip(("scales", "means"), model.apply(v, z, method=cls.scales_from_z_symbols))),
+                table,
+            )
         )
         self._reconstruct = jax.jit(
             lambda v, y_sym, means: model.apply(
@@ -362,11 +378,6 @@ class VAEformerCodec:
         )
         self._forward = jax.jit(
             lambda v, x: model.apply(v, x)
-        )
-        # single-dispatch index builders (eager ops cost a round trip each
-        # on tunneled backends)
-        self._gc_index = jax.jit(
-            lambda scales, table: build_indexes(scales.astype(jnp.float32), table)
         )
         self._scale_table_dev = jnp.asarray(self.scale_table)
 
@@ -431,19 +442,19 @@ class VAEformerCodec:
     # -- public API --------------------------------------------------------
     def compress(self, x) -> Dict[str, Any]:
         self._require_tables()
-        out = self._encode_symbols(self.variables, jnp.asarray(x))
+        out = self._encode_symbols(self.variables, jnp.asarray(x), self._scale_table_dev)
         return self._compress_symbols(out)
 
     def compress_from_latent(self, y) -> Dict[str, Any]:
         self._require_tables()
-        out = self._symbols_from_latent(self.variables, jnp.asarray(y))
+        out = self._symbols_from_latent(self.variables, jnp.asarray(y), self._scale_table_dev)
         return self._compress_symbols(out)
 
     def _compress_symbols(self, out) -> Dict[str, Any]:
         if self.coder == "v2":
             # fully device-resident coding: symbols never cross to host;
             # only the compacted streams do
-            gc_idx_dev = self._gc_index(out["scales"], self._scale_table_dev)
+            gc_idx_dev = out["gc_idx"]
             z_sym_dev = out["z_sym"]
             B, C = z_sym_dev.shape[:2]
             z_idx_dev = jnp.broadcast_to(
@@ -462,9 +473,7 @@ class VAEformerCodec:
 
         # uint8 shrinks the transfer 4x but only holds 256 table rows
         idx_dtype = jnp.uint8 if len(self.scale_table) <= 256 else jnp.int32
-        gc_idx_dev = build_indexes(
-            jnp.asarray(out["scales"], jnp.float32), jnp.asarray(self.scale_table)
-        ).astype(idx_dtype)
+        gc_idx_dev = out["gc_idx"].astype(idx_dtype)
         z_sym, y_sym, gc_idx = jax.device_get((out["z_sym"], out["y_sym"], gc_idx_dev))
         z_sym = np.asarray(z_sym)
         y_sym = np.asarray(y_sym)
@@ -503,8 +512,8 @@ class VAEformerCodec:
                     for i in range(B)
                 ]
             )
-            scales, means = self._scales_from_z(self.variables, z_sym)
-            gc_idx = self._gc_index(scales, self._scale_table_dev)
+            hz = self._scales_from_z(self.variables, z_sym, self._scale_table_dev)
+            means, gc_idx = hz["means"], hz["gc_idx"]
             y_sym = jnp.stack(
                 [
                     self._gc_coder.decode_to_device(_unwrap(y_strings[i]), gc_idx[i])
@@ -523,13 +532,10 @@ class VAEformerCodec:
                     ]
                 )
             )
-            scales, means = self._scales_from_z(self.variables, z_sym)
+            hz = self._scales_from_z(self.variables, z_sym, self._scale_table_dev)
+            means = hz["means"]
             idx_dtype = jnp.uint8 if len(self.scale_table) <= 256 else jnp.int32
-            gc_idx = np.asarray(
-                build_indexes(
-                    jnp.asarray(scales, jnp.float32), jnp.asarray(self.scale_table)
-                ).astype(idx_dtype)
-            ).astype(np.int32)
+            gc_idx = np.asarray(hz["gc_idx"].astype(idx_dtype)).astype(np.int32)
             y_sym = jnp.asarray(
                 np.stack(
                     [

@@ -59,7 +59,7 @@ def test_compress_decompress_roundtrip_v2(tiny_model):
     # decompress must be *exactly* the encoder's reconstruction: compare
     # against the float path through the same quantized latents
     y = codec.encode_latent(x)
-    sym = codec._symbols_from_latent(codec.variables, y)
+    sym = codec._symbols_from_latent(codec.variables, y, codec._scale_table_dev)
     x_ref = codec._reconstruct(codec.variables, sym["y_sym"], sym["means"])
     assert np.allclose(x_hat, np.asarray(x_ref), atol=1e-5)
 
