@@ -76,7 +76,8 @@ def main():
         dec_times.append(t2 - t1)
         nbytes = sum(len(s[0]) for s in (out["strings"][0], out["strings"][1]))
 
-    mean_t = float(np.mean(times))
+    # median: robust to warm-in/compile-tail and tunnel jitter
+    mean_t = float(np.median(times))
     throughput = batch / mean_t  # per-sample roundtrips/s
     baseline = 1.0 / (0.0983 + 0.0343)  # reference GPU roundtrips/sec
     result = {

@@ -83,10 +83,8 @@ def ring_attention_sharded(
     """Full entry: q/k/v (B, H, N, D) with N divisible by the axis size;
     shards the token axis, runs the ring, returns the gathered output
     with the same sharding as the input tokens."""
-    from jax.experimental.shard_map import shard_map
-
     spec = P(None, None, axis_name, None)
-    fn = shard_map(
+    fn = jax.shard_map(
         functools.partial(ring_attention_shard, axis_name=axis_name, scale=scale),
         mesh=mesh,
         in_specs=(spec, spec, spec),
