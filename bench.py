@@ -34,7 +34,7 @@ def main():
     from cra5_tpu.models import VAEformer, VAEformerCodec, vaeformer_268
 
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))  # batched 24h-style encode
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else jnp.float32
 
