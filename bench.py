@@ -38,6 +38,15 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "1"))  # batched 24h-style encode
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else jnp.float32
 
+    # warm the device->host data plane concurrently with the init compile:
+    # the first D2H on a tunneled backend pays a one-time ~150s setup that
+    # otherwise lands in the CDF-table phase
+    import threading
+
+    threading.Thread(
+        target=lambda: jax.device_get(jnp.zeros(8)), daemon=True
+    ).start()
+
     cfg = vaeformer_268()
     model = VAEformer(cfg, dtype=dtype)
     rng = jax.random.PRNGKey(0)

@@ -296,6 +296,7 @@ class ElicCodec:
     for non-anchors (reference compress/decompress, elic2022.py:372-593)."""
 
     def __init__(self, model: ELIC2022, variables: Dict[str, Any], scale_table=None):
+        from ..coder.rans_tpu import LaneCoder
         from ..entropy import eb_update, gc_update, get_scale_table
         from ..entropy.entropy_bottleneck import eb_params_from_variables
 
@@ -307,6 +308,9 @@ class ElicCodec:
         eb_params = eb_params_from_variables(variables, "entropy_bottleneck")
         self._eb = eb_update(eb_params)
         self._gc = gc_update(self.scale_table)
+        self._eb_coder = LaneCoder(self._eb)
+        self._gc_coder = LaneCoder(self._gc)
+        self._scale_table_dev = jnp.asarray(self.scale_table)
 
         m = model
         cls = type(model)
@@ -322,58 +326,60 @@ class ElicCodec:
         )
         self._synthesis = jax.jit(lambda v, y: m.apply(v, y, method=cls.synthesis))
         self._forward = jax.jit(lambda v, x: m.apply(v, x))
+        # single-dispatch checkerboard coding prep/post
+        self._pack_prep = jax.jit(
+            lambda y, means, scales, table, anchor: (
+                checkerboard_pack(jnp.round(y - means).astype(jnp.int32), anchor),
+                build_indexes(checkerboard_pack(scales, anchor).astype(jnp.float32), table),
+            ),
+            static_argnums=(4,),
+        )
+        self._unpack_post = jax.jit(
+            lambda sym, means, anchor, W: checkerboard_unpack(
+                sym.astype(jnp.float32) + checkerboard_pack(means, anchor), anchor, W
+            ),
+            static_argnums=(2, 3),
+        )
+        self._anchor_hat = jax.jit(
+            lambda y, means, amask: (jnp.round(y - means) + means) * amask
+        )
+        self._blend_hat = jax.jit(
+            lambda ya, y, means_n, amask: ya + (jnp.round(y - means_n) + means_n) * (1 - amask)
+        )
 
     def forward(self, x):
         return self._forward(self.variables, jnp.asarray(x))
 
-    def _gc_encode(self, y: np.ndarray, means, scales, anchor: bool) -> List[bytes]:
-        from ..coder import native
-
-        sym = np.asarray(
-            checkerboard_pack(jnp.round(jnp.asarray(y) - means).astype(jnp.int32), anchor)
-        )
-        idx = np.asarray(
-            build_indexes(checkerboard_pack(scales, anchor), jnp.asarray(self.scale_table))
-        )
+    def _gc_encode(self, y, means, scales, anchor: bool) -> List[bytes]:
+        sym, idx = self._pack_prep(y, means, scales, self._scale_table_dev, anchor)
         return [
-            native.encode_with_indexes(
-                sym[i], idx[i], self._gc.quantized_cdf, self._gc.cdf_length, self._gc.offset
-            )
+            self._gc_coder.encode_from_device(sym[i], idx[i])
             for i in range(sym.shape[0])
         ]
 
     def _gc_decode(self, strings, means, scales, anchor: bool, W: int) -> jax.Array:
-        from ..coder import native
-
-        idx = np.asarray(
-            build_indexes(checkerboard_pack(scales, anchor), jnp.asarray(self.scale_table))
+        _, idx = self._pack_prep(
+            jnp.zeros_like(means), means, scales, self._scale_table_dev, anchor
         )
-        sym = np.stack(
+        sym = jnp.stack(
             [
-                native.decode_with_indexes(
-                    strings[i], idx[i], self._gc.quantized_cdf, self._gc.cdf_length, self._gc.offset
-                )
+                self._gc_coder.decode_to_device(strings[i], idx[i])
                 for i in range(len(strings))
             ]
         )
-        packed_means = checkerboard_pack(means, anchor)
-        y_packed = jnp.asarray(sym, jnp.float32) + packed_means
-        return checkerboard_unpack(y_packed, anchor, W)
+        return self._unpack_post(sym, means, anchor, W)
 
     def compress(self, x) -> Dict[str, Any]:
-        from ..coder import native
-
         out = self._analysis(self.variables, jnp.asarray(x))
-        z_sym = np.asarray(out["z_sym"])
+        z_sym = out["z_sym"]
         B, C = z_sym.shape[:2]
-        z_idx = np.broadcast_to(np.arange(C, dtype=np.int32)[None, :, None, None], z_sym.shape)
+        z_idx = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :, None, None], z_sym.shape
+        )
         z_strings = [
-            native.encode_with_indexes(
-                z_sym[i], z_idx[i], self._eb.quantized_cdf, self._eb.cdf_length, self._eb.offset
-            )
-            for i in range(B)
+            self._eb_coder.encode_from_device(z_sym[i], z_idx[i]) for i in range(B)
         ]
-        hyper_params = self._hyper(self.variables, jnp.asarray(z_sym))
+        hyper_params = self._hyper(self.variables, z_sym)
 
         y = out["y"]
         W = y.shape[-1]
@@ -388,13 +394,12 @@ class ElicCodec:
                 self.variables, tuple(y_hat_slices), hyper_params, i
             )
             y_strings.extend(self._gc_encode(y_slice, means_a, scales_a, True))
-            y_anchor_hat = (jnp.round(y_slice - means_a) + means_a) * amask
+            y_anchor_hat = self._anchor_hat(y_slice, means_a, amask)
             means_n, scales_n = self._non_anchor_params(
                 self.variables, y_anchor_hat, tuple(y_hat_slices), hyper_params, i
             )
             y_strings.extend(self._gc_encode(y_slice, means_n, scales_n, False))
-            y_non_hat = (jnp.round(y_slice - means_n) + means_n) * (1 - amask)
-            y_hat_slices.append(y_anchor_hat + y_non_hat)
+            y_hat_slices.append(self._blend_hat(y_anchor_hat, y_slice, means_n, amask))
 
         return {
             "strings": [y_strings, z_strings],
@@ -403,22 +408,20 @@ class ElicCodec:
         }
 
     def decompress(self, strings, shape, y_shape=None) -> Dict[str, Any]:
-        from ..coder import native
-
         y_strings, z_strings = strings[0], strings[1]
         B = len(z_strings)
         C = self.model.N
         full_z = (B, C, int(shape[0]), int(shape[1]))
-        z_idx = np.broadcast_to(np.arange(C, dtype=np.int32)[None, :, None, None], full_z)
-        z_sym = np.stack(
+        z_idx = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :, None, None], full_z
+        )
+        z_sym = jnp.stack(
             [
-                native.decode_with_indexes(
-                    z_strings[i], z_idx[i], self._eb.quantized_cdf, self._eb.cdf_length, self._eb.offset
-                )
+                self._eb_coder.decode_to_device(z_strings[i], z_idx[i])
                 for i in range(B)
             ]
         )
-        hyper_params = self._hyper(self.variables, jnp.asarray(z_sym))
+        hyper_params = self._hyper(self.variables, z_sym)
         H, W = (
             (int(shape[0]) * 4, int(shape[1]) * 4) if y_shape is None else (int(y_shape[0]), int(y_shape[1]))
         )

@@ -288,9 +288,12 @@ class SymmetricalTransFormer2022(nn.Module):
 
 class CharmCodec:
     """Host codec for channel-slice (charm) models: one vectorized rANS
-    pass per slice (reference stf2022.py compress/decompress)."""
+    pass per slice (reference stf2022.py compress/decompress). Slice
+    symbols/indexes stay on device and code through the TPU lane coder
+    (format v2)."""
 
     def __init__(self, model, variables: Dict[str, Any], scale_table=None):
+        from ..coder.rans_tpu import LaneCoder
         from ..entropy import eb_update, gc_update, get_scale_table
         from ..entropy.entropy_bottleneck import eb_params_from_variables
 
@@ -302,6 +305,9 @@ class CharmCodec:
         eb_params = eb_params_from_variables(variables, "entropy_bottleneck")
         self._eb = eb_update(eb_params)
         self._gc = gc_update(self.scale_table)
+        self._eb_coder = LaneCoder(self._eb)
+        self._gc_coder = LaneCoder(self._gc)
+        self._scale_table_dev = jnp.asarray(self.scale_table)
 
         m = model
         cls = type(model)
@@ -317,24 +323,33 @@ class CharmCodec:
         )
         self._synthesis = jax.jit(lambda v, y: m.apply(v, y, method=cls.synthesis))
         self._forward = jax.jit(lambda v, x: m.apply(v, x))
+        # single-dispatch coding prep (eager ops pay a round trip each)
+        self._code_prep = jax.jit(
+            lambda y_slice, mu, sigma, table: (
+                jnp.round(y_slice - mu).astype(jnp.int32),
+                build_indexes(sigma.astype(jnp.float32), table),
+            )
+        )
+        self._apply_mu = jax.jit(lambda sym, mu: sym.astype(jnp.float32) + mu)
 
     def forward(self, x):
         return self._forward(self.variables, jnp.asarray(x))
 
-    def compress(self, x) -> Dict[str, Any]:
-        from ..coder import native
+    def _z_idx_dev(self, shape):
+        C = shape[1]
+        return jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :, None, None], shape
+        )
 
+    def compress(self, x) -> Dict[str, Any]:
         out = self._analysis(self.variables, jnp.asarray(x))
-        z_sym = np.asarray(out["z_sym"])
-        B, C = z_sym.shape[:2]
-        z_idx = np.broadcast_to(np.arange(C, dtype=np.int32)[None, :, None, None], z_sym.shape)
+        z_sym = out["z_sym"]
+        B = z_sym.shape[0]
+        z_idx = self._z_idx_dev(z_sym.shape)
         z_strings = [
-            native.encode_with_indexes(
-                z_sym[i], z_idx[i], self._eb.quantized_cdf, self._eb.cdf_length, self._eb.offset
-            )
-            for i in range(B)
+            self._eb_coder.encode_from_device(z_sym[i], z_idx[i]) for i in range(B)
         ]
-        latent_means, latent_scales = self._hyper(self.variables, jnp.asarray(z_sym))
+        latent_means, latent_scales = self._hyper(self.variables, z_sym)
 
         y = out["y"]
         y_slices = jnp.split(y, self.model.num_slices, axis=1)
@@ -344,15 +359,10 @@ class CharmCodec:
             mu, sigma = self._slice_params(
                 self.variables, latent_means, latent_scales, tuple(y_hat_slices), i
             )
-            sym = np.asarray(jnp.round(y_slice - mu).astype(jnp.int32))
-            idx = np.asarray(build_indexes(sigma, jnp.asarray(self.scale_table)))
-            for b in range(sym.shape[0]):
-                y_strings.append(
-                    native.encode_with_indexes(
-                        sym[b], idx[b], self._gc.quantized_cdf, self._gc.cdf_length, self._gc.offset
-                    )
-                )
-            y_hat_slice = jnp.asarray(sym, jnp.float32) + mu
+            sym, idx = self._code_prep(y_slice, mu, sigma, self._scale_table_dev)
+            for b in range(B):
+                y_strings.append(self._gc_coder.encode_from_device(sym[b], idx[b]))
+            y_hat_slice = self._apply_mu(sym, mu)
             y_hat_slice = y_hat_slice + self._slice_lrp(
                 self.variables, latent_means, tuple(y_hat_slices), y_hat_slice, i
             )
@@ -363,22 +373,18 @@ class CharmCodec:
         }
 
     def decompress(self, strings, shape) -> Dict[str, Any]:
-        from ..coder import native
-
         y_strings, z_strings = strings[0], strings[1]
         B = len(z_strings)
         C = getattr(self.model, "hyper_channels", self.model.N)
         full_z = (B, C, int(shape[0]), int(shape[1]))
-        z_idx = np.broadcast_to(np.arange(C, dtype=np.int32)[None, :, None, None], full_z)
-        z_sym = np.stack(
+        z_idx = self._z_idx_dev(full_z)
+        z_sym = jnp.stack(
             [
-                native.decode_with_indexes(
-                    z_strings[i], z_idx[i], self._eb.quantized_cdf, self._eb.cdf_length, self._eb.offset
-                )
+                self._eb_coder.decode_to_device(z_strings[i], z_idx[i])
                 for i in range(B)
             ]
         )
-        latent_means, latent_scales = self._hyper(self.variables, jnp.asarray(z_sym))
+        latent_means, latent_scales = self._hyper(self.variables, z_sym)
 
         y_hat_slices: List[jax.Array] = []
         si = 0
@@ -386,21 +392,25 @@ class CharmCodec:
             mu, sigma = self._slice_params(
                 self.variables, latent_means, latent_scales, tuple(y_hat_slices), i
             )
-            idx = np.asarray(build_indexes(sigma, jnp.asarray(self.scale_table)))
-            sym = np.stack(
+            idx = self._gc_index(sigma)
+            sym = jnp.stack(
                 [
-                    native.decode_with_indexes(
-                        y_strings[si + b], idx[b],
-                        self._gc.quantized_cdf, self._gc.cdf_length, self._gc.offset,
-                    )
+                    self._gc_coder.decode_to_device(y_strings[si + b], idx[b])
                     for b in range(B)
                 ]
             )
             si += B
-            y_hat_slice = jnp.asarray(sym, jnp.float32) + mu
+            y_hat_slice = self._apply_mu(sym, mu)
             y_hat_slice = y_hat_slice + self._slice_lrp(
                 self.variables, latent_means, tuple(y_hat_slices), y_hat_slice, i
             )
             y_hat_slices.append(y_hat_slice)
         y_hat = jnp.concatenate(y_hat_slices, axis=1)
         return {"x_hat": self._synthesis(self.variables, y_hat)}
+
+    def _gc_index(self, sigma):
+        if not hasattr(self, "_gc_index_jit"):
+            self._gc_index_jit = jax.jit(
+                lambda s, table: build_indexes(s.astype(jnp.float32), table)
+            )
+        return self._gc_index_jit(sigma, self._scale_table_dev)
