@@ -98,3 +98,24 @@ def test_checkpoint_msgpack_roundtrip(tmp_path):
     save_variables(p, tree)
     out = load_variables(p)
     assert np.allclose(out["params"]["a"], tree["params"]["a"])
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Directory (orbax) checkpoints save/restore the variables tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from cra5_tpu.train.checkpoints import load_variables, save_variables
+
+    tree = {
+        "params": {
+            "dense": {"kernel": jnp.arange(6.0).reshape(2, 3), "bias": jnp.zeros(3)}
+        }
+    }
+    path = str(tmp_path / "ckpt_dir")
+    save_variables(path, tree)
+    restored = load_variables(path)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["dense"]["kernel"]),
+        np.asarray(tree["params"]["dense"]["kernel"]),
+    )
