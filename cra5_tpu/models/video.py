@@ -327,13 +327,18 @@ class ScaleSpaceFlowCodec:
     coded streams per inter frame (motion y/z implicit via Hyperprior)."""
 
     def __init__(self, model: ScaleSpaceFlow, variables: Dict[str, Any]):
+        from ..coder.rans_tpu import LaneCoder
         from ..entropy import eb_update, gc_update, get_scale_table
         from ..entropy.entropy_bottleneck import eb_params_from_variables
 
         self.model = model
         self.variables = variables
         self.scale_table = get_scale_table()
+        self._scale_table_dev = jnp.asarray(self.scale_table)
         self._tables = {}
+        self._coders = {}
+        gc_table = gc_update(self.scale_table)
+        gc_coder = LaneCoder(gc_table)
         for which, name in (
             ("keyframe", "img_hyperprior"),
             ("residual", "res_hyperprior"),
@@ -342,10 +347,12 @@ class ScaleSpaceFlowCodec:
             eb_params = eb_params_from_variables(
                 self.variables, f"{name}/entropy_bottleneck"
             )
-            self._tables[which] = {
-                "eb": eb_update(eb_params),
-                "gc": gc_update(self.scale_table),
-            }
+            eb_table = eb_update(eb_params)
+            self._tables[which] = {"eb": eb_table, "gc": gc_table}
+            self._coders[which] = {"eb": LaneCoder(eb_table), "gc": gc_coder}
+        self._gc_index = jax.jit(
+            lambda scales, table: build_indexes(scales.astype(jnp.float32), table)
+        )
 
         m = model
         self._analyze = jax.jit(
@@ -369,62 +376,47 @@ class ScaleSpaceFlowCodec:
         )
 
     def _code_hp(self, y, which):
-        """Encode one latent through hyperprior ``which`` -> (y_hat, strings, z_shape)."""
-        from ..coder import native
-
+        """Encode one latent through hyperprior ``which`` -> (y_hat, strings,
+        z_shape); symbols stay device-resident (format v2 streams)."""
         out = self._hp_symbols(self.variables, y, which)
-        t = self._tables[which]
-        z_sym = np.asarray(out["z_sym"])
-        y_sym = np.asarray(out["y_sym"])
+        coders = self._coders[which]
+        z_sym = out["z_sym"]
+        y_sym = out["y_sym"]
         B, C = z_sym.shape[:2]
-        z_idx = np.broadcast_to(
-            np.arange(C, dtype=np.int32)[None, :, None, None], z_sym.shape
+        z_idx = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :, None, None], z_sym.shape
         )
-        gc_idx = np.asarray(
-            build_indexes(jnp.asarray(out["scales"], jnp.float32), jnp.asarray(self.scale_table))
-        )
+        gc_idx = self._gc_index(out["scales"], self._scale_table_dev)
         z_strings = [
-            native.encode_with_indexes(
-                z_sym[i], z_idx[i], t["eb"].quantized_cdf, t["eb"].cdf_length, t["eb"].offset
-            )
-            for i in range(B)
+            coders["eb"].encode_from_device(z_sym[i], z_idx[i]) for i in range(B)
         ]
         y_strings = [
-            native.encode_with_indexes(
-                y_sym[i], gc_idx[i], t["gc"].quantized_cdf, t["gc"].cdf_length, t["gc"].offset
-            )
-            for i in range(B)
+            coders["gc"].encode_from_device(y_sym[i], gc_idx[i]) for i in range(B)
         ]
         return out["y_hat"], [y_strings, z_strings], tuple(int(s) for s in out["z_shape"])
 
     def _decode_hp(self, strings, z_shape, which, batch):
-        from ..coder import native
-
-        t = self._tables[which]
+        coders = self._coders[which]
         C = self.model.planes
         full_z = (batch, C, z_shape[0], z_shape[1])
-        z_idx = np.broadcast_to(np.arange(C, dtype=np.int32)[None, :, None, None], full_z)
-        z_sym = np.stack(
+        z_idx = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :, None, None], full_z
+        )
+        z_sym = jnp.stack(
             [
-                native.decode_with_indexes(
-                    strings[1][i], z_idx[i], t["eb"].quantized_cdf, t["eb"].cdf_length, t["eb"].offset
-                )
+                coders["eb"].decode_to_device(strings[1][i], z_idx[i])
                 for i in range(batch)
             ]
         )
-        scales, means = self._hp_params(self.variables, jnp.asarray(z_sym), which)
-        gc_idx = np.asarray(
-            build_indexes(jnp.asarray(scales, jnp.float32), jnp.asarray(self.scale_table))
-        )
-        y_sym = np.stack(
+        scales, means = self._hp_params(self.variables, z_sym, which)
+        gc_idx = self._gc_index(scales, self._scale_table_dev)
+        y_sym = jnp.stack(
             [
-                native.decode_with_indexes(
-                    strings[0][i], gc_idx[i], t["gc"].quantized_cdf, t["gc"].cdf_length, t["gc"].offset
-                )
+                coders["gc"].decode_to_device(strings[0][i], gc_idx[i])
                 for i in range(batch)
             ]
         )
-        return jnp.asarray(y_sym, jnp.float32) + means
+        return y_sym.astype(jnp.float32) + means
 
     def compress(self, frames: Sequence) -> Tuple[List, List]:
         frame_strings, shape_infos = [], []
