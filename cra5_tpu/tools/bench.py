@@ -1,14 +1,15 @@
-"""Classical-codec baselines: JPEG, WebP, JPEG2000 over an image folder.
+"""Classical-codec baselines over an image folder.
 
 Parity with the reference bench tool
-(/root/reference/cra5/models/compressai/utils/bench/codecs.py:145-786),
-scoped to the codecs available in this image via PIL (the reference
-shells out to external binaries for BPG/VTM/HM/AV1; those are gated
-behind ``--codec`` names and raise a clear error when the binary is
-absent).
+(/root/reference/cra5/models/compressai/utils/bench/codecs.py:145-786):
+JPEG/WebP/JPEG2000 via PIL in-process, and BPG/VTM/HM/AV1/TFCI via the
+subprocess wrappers in ``ext_codecs`` — runtime-gated on binary
+presence (exit 2 with the missing binary named when absent).
 
 Usage:
   python -m cra5_tpu.tools.bench jpeg DATASET -q 10 20 ... [-o out.json]
+  python -m cra5_tpu.tools.bench bpg DATASET -q 30 40 --encoder-path bpgenc
+  python -m cra5_tpu.tools.bench vtm DATASET -q 32 --build-dir B --codec-config C
 """
 
 from __future__ import annotations
@@ -78,16 +79,29 @@ def main(argv=None):
     parser.add_argument("dataset", type=str)
     parser.add_argument("-q", "--qualities", nargs="+", type=int, default=[75])
     parser.add_argument("-o", "--output", type=str, default=None)
+    parser.add_argument("--encoder-path", default=None,
+                        help="external codec encoder binary (bpg/vtm/hm/av1)")
+    parser.add_argument("--decoder-path", default=None,
+                        help="external codec decoder binary (bpg/vtm/hm/av1)")
+    parser.add_argument("--build-dir", default=None,
+                        help="VTM/HM/AV1 build directory with the reference binaries")
+    parser.add_argument("--codec-config", default=None,
+                        help="VTM/HM encoder .cfg file")
+    parser.add_argument("--tfci-script", default=None,
+                        help="path to tensorflow/compression tfci.py")
+    parser.add_argument("--tfci-model", default="bmshj2018-factorized-mse")
     args = parser.parse_args(argv)
 
+    from .ext_codecs import CodecUnavailable, build_image_codec
+
+    external = None
     if args.codec in _EXTERNAL:
-        print(
-            f"codec '{args.codec}' requires an external binary not present in "
-            "this image (reference parity: utils/bench/codecs.py shells out); "
-            "use jpeg/webp/jpeg2000",
-            file=sys.stderr,
-        )
-        return 2
+        try:
+            external = build_image_codec(args.codec, args)
+            external._check()
+        except CodecUnavailable as e:
+            print(f"codec '{args.codec}' unavailable: {e}", file=sys.stderr)
+            return 2
 
     from PIL import Image
 
@@ -96,18 +110,21 @@ def main(argv=None):
         print(f"no images found in {args.dataset}", file=sys.stderr)
         return 1
 
-    fmt = _PIL_FORMATS[args.codec]
     results: Dict[str, List[float]] = defaultdict(list)
     for q in args.qualities:
         totals: Dict[str, float] = defaultdict(float)
         for f in files:
-            rv = run_pil_codec(Image.open(f), fmt, q)
+            if external is not None:
+                rv = external.run(Image.open(f), q)
+            else:
+                rv = run_pil_codec(Image.open(f), _PIL_FORMATS[args.codec], q)
             for k, v in rv.items():
                 totals[k] += v
         for k, v in totals.items():
             results[k].append(v / len(files))
 
-    output = {"name": args.codec, "description": "PIL", "results": dict(results)}
+    description = "PIL" if external is None else f"external ({args.codec})"
+    output = {"name": args.codec, "description": description, "results": dict(results)}
     text = json.dumps(output, indent=2)
     if args.output:
         Path(args.output).write_text(text)

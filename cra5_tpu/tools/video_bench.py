@@ -1,14 +1,17 @@
 """Classical video baselines over frame-folder clips.
 
-Parity scope with the reference video bench
-(/root/reference/cra5/models/compressai/utils/video/bench): the
-reference shells out to x265/VTM binaries that are not present in this
-image; those codec names are gated with a clear error. The available
-baseline is all-intra JPEG/WebP/JPEG2000 per frame (PIL), which anchors
-the RD plots the same way the reference's image bench does.
+Parity with the reference video bench
+(/root/reference/cra5/models/compressai/utils/video/bench/codecs.py:95-405):
+x264/x265 (ffmpeg) and VTM/HM (reference software) via the subprocess
+wrappers in ``ext_codecs``, runtime-gated on binary presence (exit 2
+naming the missing binary); plus all-intra JPEG/WebP/JPEG2000 per frame
+(PIL), which anchors RD plots the same way the reference's image bench
+does.
 
 Usage:
   python -m cra5_tpu.tools.video_bench jpeg DATASET -q 30 60 [-o out.json]
+  python -m cra5_tpu.tools.video_bench x265 DATASET -q 30 35
+  python -m cra5_tpu.tools.video_bench vtm DATASET -q 32 --build-dir B --codec-config C
 """
 
 from __future__ import annotations
@@ -36,16 +39,24 @@ def main(argv=None):
     parser.add_argument("--frames", type=int, default=3)
     parser.add_argument("-q", "--qualities", nargs="+", type=int, default=[75])
     parser.add_argument("-o", "--output", type=str, default=None)
+    parser.add_argument("--encoder-path", default=None,
+                        help="ffmpeg (x264/x265) or encoder binary override")
+    parser.add_argument("--decoder-path", default=None)
+    parser.add_argument("--build-dir", default=None, help="VTM/HM build dir")
+    parser.add_argument("--codec-config", default=None, help="VTM/HM .cfg file")
+    parser.add_argument("--preset", default="medium", help="x264/x265 preset")
     args = parser.parse_args(argv)
 
+    from .ext_codecs import CodecUnavailable, build_video_codec
+
+    external = None
     if args.codec in _EXTERNAL_VIDEO:
-        print(
-            f"codec '{args.codec}' requires an external binary not present in "
-            "this image (reference parity: utils/video/bench shells out); "
-            "use jpeg/webp/jpeg2000 (all-intra)",
-            file=sys.stderr,
-        )
-        return 2
+        try:
+            external = build_video_codec(args.codec, args)
+            external._check()
+        except CodecUnavailable as e:
+            print(f"codec '{args.codec}' unavailable: {e}", file=sys.stderr)
+            return 2
 
     from PIL import Image
 
@@ -54,27 +65,30 @@ def main(argv=None):
         print(f"no clips in {args.dataset}/{args.split}", file=sys.stderr)
         return 1
 
-    fmt = _PIL_FORMATS[args.codec]
     results: Dict[str, List[float]] = defaultdict(list)
     for q in args.qualities:
         totals: Dict[str, float] = defaultdict(float)
-        nframes = 0
+        count = 0
         for ci in range(len(ds)):
-            clip = ds[ci]  # (T, C, H, W) float [0,1]
-            for f in range(clip.shape[0]):
-                arr = (clip[f].transpose(1, 2, 0) * 255).astype(np.uint8)
-                rv = run_pil_codec(Image.fromarray(arr), fmt, q)
+            if external is not None:
+                rv = external.run_clip([str(p) for p in ds.clips[ci]], q)
                 for k, v in rv.items():
                     totals[k] += v
-                nframes += 1
+                count += 1
+            else:
+                clip = ds[ci]  # (T, C, H, W) float [0,1]
+                for f in range(clip.shape[0]):
+                    arr = (clip[f].transpose(1, 2, 0) * 255).astype(np.uint8)
+                    rv = run_pil_codec(Image.fromarray(arr), _PIL_FORMATS[args.codec], q)
+                    for k, v in rv.items():
+                        totals[k] += v
+                    count += 1
         for k, v in totals.items():
-            results[k].append(v / nframes)
+            results[k].append(v / count)
 
-    output = {
-        "name": f"{args.codec}-intra",
-        "description": "all-intra PIL",
-        "results": dict(results),
-    }
+    name = args.codec if external is not None else f"{args.codec}-intra"
+    description = "external" if external is not None else "all-intra PIL"
+    output = {"name": name, "description": description, "results": dict(results)}
     text = json.dumps(output, indent=2)
     if args.output:
         Path(args.output).write_text(text)

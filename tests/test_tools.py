@@ -69,6 +69,29 @@ def test_bench_external_codec_gated(img_dir, capsys):
     assert rc == 2
 
 
+def test_plot_vendored_anchors(tmp_path):
+    """The reference's published RD anchors resolve by bare name and plot
+    on their native bpsp rate axis (reference utils/plot/VIVT-69.json)."""
+    from cra5_tpu.tools import plot
+    from cra5_tpu.tools.plot import list_anchors, load_result
+
+    anchors = list_anchors()
+    assert {"VIVT-69", "VIVT-138", "JPEG-2000", "bmshj2018-hyperprior"} <= set(anchors)
+    data = load_result("VIVT-69")
+    assert len(data["results"]["bpsp"]) == 5
+    assert 0.13 < min(data["results"]["bpsp"]) < 0.16
+
+    png = tmp_path / "anchors.png"
+    rc = plot.main(["-f", "VIVT-69", "VIVT-138", "JPEG-2000",
+                    "--metric", "MSE", "-o", str(png)])
+    assert rc == 0 and png.exists()
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        load_result("no-such-anchor")
+
+
 def test_update_model_roundtrip(tmp_path):
     from cra5_tpu.models import load_model
     from cra5_tpu.tools import update_model
