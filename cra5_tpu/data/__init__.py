@@ -1,9 +1,10 @@
-from .era5 import ERA5NpyDataset, ERA5NcDataset, timestamp_range
+from .era5 import ERA5EvalDataset, ERA5NpyDataset, ERA5NcDataset, timestamp_range
 from .image import ImageFolder, RawVideoSequence, VideoFolder, Vimeo90kDataset
 from .prefetch import PrefetchLoader, batch_iterator
 from .transforms import rgb2ycbcr, ycbcr2rgb, yuv_444_to_420, yuv_420_to_444
 
 __all__ = [
+    "ERA5EvalDataset",
     "ERA5NpyDataset",
     "ERA5NcDataset",
     "timestamp_range",

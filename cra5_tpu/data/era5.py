@@ -140,6 +140,163 @@ class ERA5NpyDataset:
             np.save(f"{base}-{name}.npy", data[c])
 
 
+class ERA5EvalDataset(ERA5NpyDataset):
+    """Evaluation-mode dataset over forecast predictions vs the archive.
+
+    Capability parity with the reference's multi-mode test ``__getitem__``
+    (/root/reference/cra5/dataset/cra5_base.py:541-648: ensemble /
+    HRES_25km / operational_9km / aimodel_* modes plus the climate-mean
+    test path), redesigned around plain filesystem roots instead of the
+    reference's S3 buckets (its ``.s3_client`` module is absent from the
+    reference snapshot, SURVEY.md §0).
+
+    Modes:
+      - ``default``       — input/gt both from the archive (training layout)
+      - ``ensemble``      — physics-ensemble forecasts: one multi-step run
+                            per init time under ``{pred_root}/{init}/stepNN.npy``;
+                            predictions are every ``pred_stride``-th step
+                            starting at ``pred_start`` (reference takes the
+                            12-hourly slots: start=2, stride=2)
+      - ``hres``          — operational HRES runs, one step per gt offset
+                            (start=0, stride=1), same layout as ensemble
+      - ``aimodel``       — AI-model forecasts stored per valid time:
+                            ``{pred_root}/{year}/{init}/{valid}.npy``
+      - ``aimodel_interp``— like aimodel, with predictions bilinearly
+                            resized to the gt grid (reference
+                            aimodel_9km_to_25km, cra5_base.py:600-607)
+
+    When ``climate_root`` is set (the reference's test split), items also
+    carry ``climate_mean`` read per gt day-of-year from
+    ``{climate_root}/{MM-DD}-{channel}.npy`` (reference cra5_base.py:634-641).
+
+    Returns the reference's key schema: input, gt_label, pred_label,
+    in_time_stamp, gt_time_stamp (+ climate_mean).
+    """
+
+    def __init__(
+        self,
+        *args,
+        test_mode: str = "default",
+        pred_root: Optional[str] = None,
+        climate_root: Optional[str] = None,
+        pred_start: Optional[int] = None,
+        pred_stride: Optional[int] = None,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        modes = ("default", "ensemble", "hres", "aimodel", "aimodel_interp")
+        if test_mode not in modes:
+            raise ValueError(f"test_mode {test_mode!r} not in {modes}")
+        if test_mode != "default" and pred_root is None:
+            raise ValueError(f"test_mode {test_mode!r} requires pred_root")
+        self.test_mode = test_mode
+        self.pred_root = pred_root
+        self.climate_root = climate_root
+        self.pred_start = pred_start if pred_start is not None else (
+            2 if test_mode == "ensemble" else 0
+        )
+        self.pred_stride = pred_stride if pred_stride is not None else (
+            2 if test_mode == "ensemble" else 1
+        )
+
+    # -- prediction readers -------------------------------------------------
+
+    def _load_step_file(self, path: str) -> np.ndarray:
+        data = np.load(path).astype(np.float32)
+        if self.mean is not None:
+            data = (data - self.mean.reshape(-1, 1, 1)) / self.std.reshape(-1, 1, 1)
+        return data
+
+    def _preds_multistep(self, init_ts: str, n: int) -> List[np.ndarray]:
+        """stepNN.npy run layout (ensemble / hres)."""
+        run_dir = os.path.join(self.pred_root, init_ts)
+        idxs = range(self.pred_start, self.pred_start + n * self.pred_stride,
+                     self.pred_stride)
+        return [self._load_step_file(os.path.join(run_dir, f"step{i:02d}.npy"))
+                for i in idxs]
+
+    def _preds_per_valid(self, init_ts: str, valid_ts: Sequence[str]) -> List[np.ndarray]:
+        """{year}/{init}/{valid}.npy layout (aimodel, reference
+        cra5_base.py:583-585 pred_path construction)."""
+        base = os.path.join(self.pred_root, init_ts[:4], init_ts)
+        return [self._load_step_file(os.path.join(base, f"{v}.npy")) for v in valid_ts]
+
+    def _climate_mean(self, gt_ts: Sequence[str]) -> np.ndarray:
+        out = []
+        for ts in gt_ts:
+            monthday = ts[5:10]
+            chans = [
+                np.load(os.path.join(self.climate_root, f"{monthday}-{name}.npy"))
+                for name in self.channel_names()
+            ]
+            out.append(np.stack(chans).astype(np.float32))
+        return np.stack(out)
+
+    @staticmethod
+    def _resize_to(pred: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+        import jax.image
+
+        return np.asarray(
+            jax.image.resize(pred, (*pred.shape[:-2], *hw), method="bilinear")
+        )
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        ts = self.timestamps[index]
+        in_ts = [self._offset_ts(ts, h) for h in self.sequence_cfg["input"]]
+        gt_ts = [self._offset_ts(in_ts[-1], h) for h in self.sequence_cfg["gt"]]
+        gt = np.stack([self._load_timestep(t) for t in gt_ts])
+
+        if self.test_mode == "default":
+            inputs = np.stack([self._load_timestep(t) for t in in_ts])
+            preds = gt.copy()
+        elif self.test_mode in ("ensemble", "hres"):
+            preds = np.stack(self._preds_multistep(in_ts[0], len(gt_ts)))
+            inputs = self._load_step_file(
+                os.path.join(self.pred_root, in_ts[0], "step00.npy")
+            )[None]
+        else:  # aimodel / aimodel_interp
+            pred_list = self._preds_per_valid(in_ts[0], gt_ts)
+            if self.test_mode == "aimodel_interp":
+                pred_list = [self._resize_to(p, gt.shape[-2:]) for p in pred_list]
+            preds = np.stack(pred_list)
+            inputs = preds[:1].copy()
+
+        item = {
+            "input": inputs,
+            "gt_label": gt,
+            "pred_label": preds,
+            "in_time_stamp": np.array(in_ts, dtype="datetime64[s]"),
+            "gt_time_stamp": np.array(gt_ts, dtype="datetime64[s]"),
+        }
+        if self.climate_root is not None:
+            item["climate_mean"] = self._climate_mean(gt_ts)
+        return item
+
+    @staticmethod
+    def save_prediction_run(pred_root: str, init_ts: str, steps: Sequence[np.ndarray]) -> None:
+        """Write a multi-step forecast run in the stepNN layout."""
+        run_dir = os.path.join(pred_root, init_ts)
+        os.makedirs(run_dir, exist_ok=True)
+        for i, s in enumerate(steps):
+            np.save(os.path.join(run_dir, f"step{i:02d}.npy"), s)
+
+    @staticmethod
+    def save_aimodel_forecast(pred_root: str, init_ts: str, valid_ts: str,
+                              data: np.ndarray) -> None:
+        """Write one AI-model forecast in the {year}/{init}/{valid} layout."""
+        base = os.path.join(pred_root, init_ts[:4], init_ts)
+        os.makedirs(base, exist_ok=True)
+        np.save(os.path.join(base, f"{valid_ts}.npy"), data)
+
+    @staticmethod
+    def save_climate_mean(climate_root: str, monthday: str, data: np.ndarray,
+                          names: Sequence[str]) -> None:
+        """Write one day-of-year climate-mean in the per-channel scheme."""
+        os.makedirs(climate_root, exist_ok=True)
+        for c, name in enumerate(names):
+            np.save(os.path.join(climate_root, f"{monthday}-{name}.npy"), data[c])
+
+
 class ERA5NcDataset:
     """Full-timestep NetCDF dataset over downloader-produced pairs
     ``{ts}_pressure.nc`` + ``{ts}_single.nc`` (reference era5_base_nc.py

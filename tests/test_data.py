@@ -204,3 +204,125 @@ def test_raw_video_sequence(tmp_path):
     assert full.shape == (1, 3, 8, 16)
     with pytest.raises(IndexError):
         seq[3]
+
+
+# ---------------------------------------------------------------------------
+# evaluation modes (reference cra5_base.py:541-648)
+# ---------------------------------------------------------------------------
+
+_EVAL_VNAMES = {"pressure": ["z", "t"], "single": ["t2m"]}
+_EVAL_KW = dict(
+    vnames=_EVAL_VNAMES,
+    pressure_level=[50, 100],
+    years=("1979-01-01T00:00:00", "1979-01-01T12:00:00"),
+    time_interval=6,
+    sequence_cfg={"input": [0], "gt": [6, 12]},
+)
+
+
+@pytest.fixture(scope="module")
+def eval_roots(tmp_path_factory):
+    """Archive + ensemble-run + aimodel + climate-mean roots with known
+    contents: channel c of timestep/step k has constant value 100*k + c."""
+    from cra5_tpu.data import ERA5EvalDataset, ERA5NpyDataset, timestamp_range
+
+    base = tmp_path_factory.mktemp("era5eval")
+    archive, preds, clim = base / "archive", base / "preds", base / "climate"
+    names = ["z50", "z100", "t50", "t100", "t2m"]
+    C, H, W = 5, 8, 16
+
+    def field(k):
+        return (100.0 * k + np.arange(C).reshape(C, 1, 1)) * np.ones(
+            (C, H, W), np.float32
+        )
+
+    stamps = timestamp_range("1979-01-01T00:00:00", "1979-01-02T00:00:00", 6)
+    for k, ts in enumerate(stamps):
+        ERA5NpyDataset.save_timestep(str(archive), ts, field(k), names)
+    # one multi-step run per init time, 6 steps
+    for ts in stamps:
+        ERA5EvalDataset.save_prediction_run(
+            str(preds), ts, [field(1000 + s) for s in range(6)]
+        )
+    # aimodel forecasts: per (init, valid) pair at half resolution
+    for k, ts in enumerate(stamps):
+        for off in (6, 12):
+            valid = stamps[min(k + off // 6, len(stamps) - 1)]
+            ERA5EvalDataset.save_aimodel_forecast(
+                str(preds / "ai"), ts, valid, field(2000 + off)[:, ::2, ::2]
+            )
+    ERA5EvalDataset.save_climate_mean(str(clim), "01-01", field(-1), names)
+    ERA5EvalDataset.save_climate_mean(str(clim), "01-02", field(-2), names)
+    return archive, preds, clim
+
+
+@pytest.mark.parametrize("mode", ["default", "ensemble", "hres", "aimodel",
+                                  "aimodel_interp"])
+def test_eval_dataset_modes(eval_roots, mode):
+    from cra5_tpu.data import ERA5EvalDataset
+
+    archive, preds, clim = eval_roots
+    pred_root = str(preds / "ai") if mode.startswith("aimodel") else str(preds)
+    ds = ERA5EvalDataset(
+        str(archive),
+        test_mode=mode,
+        pred_root=None if mode == "default" else pred_root,
+        climate_root=str(clim),
+        **_EVAL_KW,
+    )
+    item = ds[0]
+    assert set(item) >= {"input", "gt_label", "pred_label", "in_time_stamp",
+                         "gt_time_stamp", "climate_mean"}
+    # two gt offsets at full resolution
+    assert item["gt_label"].shape == (2, 5, 8, 16)
+    assert item["climate_mean"].shape == (2, 5, 8, 16)
+    assert item["gt_time_stamp"][0] == np.datetime64("1979-01-01T06:00:00")
+    # gt at +6h/+12h is archive steps 1 and 2 (channel 0 -> 100*k)
+    np.testing.assert_allclose(item["gt_label"][0, 0, 0, 0], 100.0)
+    np.testing.assert_allclose(item["gt_label"][1, 0, 0, 0], 200.0)
+
+    if mode == "default":
+        np.testing.assert_allclose(item["pred_label"], item["gt_label"])
+    elif mode == "ensemble":
+        # 12-hourly slots: steps 2 and 4 of the run
+        np.testing.assert_allclose(item["pred_label"][0, 0, 0, 0], 100200.0)
+        np.testing.assert_allclose(item["pred_label"][1, 0, 0, 0], 100400.0)
+        np.testing.assert_allclose(item["input"][0, 0, 0, 0], 100000.0)
+    elif mode == "hres":
+        # one step per gt offset from step 0
+        np.testing.assert_allclose(item["pred_label"][0, 0, 0, 0], 100000.0)
+        np.testing.assert_allclose(item["pred_label"][1, 0, 0, 0], 100100.0)
+    else:
+        np.testing.assert_allclose(item["pred_label"][0, 0, 0, 0], 200600.0)
+        np.testing.assert_allclose(item["pred_label"][1, 0, 0, 0], 201200.0)
+        if mode == "aimodel_interp":
+            assert item["pred_label"].shape == (2, 5, 8, 16)  # resized to gt
+        else:
+            assert item["pred_label"].shape == (2, 5, 4, 8)  # native 9km-ish
+        np.testing.assert_allclose(item["input"][0], item["pred_label"][0])
+
+
+def test_eval_dataset_validation(eval_roots):
+    from cra5_tpu.data import ERA5EvalDataset
+
+    archive, preds, _ = eval_roots
+    with pytest.raises(ValueError, match="not in"):
+        ERA5EvalDataset(str(archive), test_mode="nope", **_EVAL_KW)
+    with pytest.raises(ValueError, match="pred_root"):
+        ERA5EvalDataset(str(archive), test_mode="ensemble", **_EVAL_KW)
+
+
+def test_eval_dataset_normalizes_predictions(eval_roots):
+    from cra5_tpu.data import ERA5EvalDataset
+
+    archive, preds, _ = eval_roots
+    mean = np.full(5, 50.0, np.float32)
+    std = np.full(5, 10.0, np.float32)
+    ds = ERA5EvalDataset(
+        str(archive), test_mode="hres", pred_root=str(preds),
+        mean=mean, std=std, **_EVAL_KW,
+    )
+    item = ds[0]
+    # gt step 1 channel 0: (100 - 50) / 10; pred step 0: (100000 - 50) / 10
+    np.testing.assert_allclose(item["gt_label"][0, 0, 0, 0], 5.0)
+    np.testing.assert_allclose(item["pred_label"][0, 0, 0, 0], 9995.0)
