@@ -102,8 +102,13 @@ long long rans_encode_with_indexes(
                     false});
 
     if (value == max_value) {
+      // NB: the shift must be 64-bit. The reference's uint32 loop
+      // (rans_interface.cpp:146-150) hits shift-by-32 UB and hangs for
+      // raw_val >= 2^28 (|symbol| >~ 2^27); this version terminates with
+      // n_bypass = 8 there and stays bit-identical below that.
       int32_t n_bypass = 0;
-      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+      while ((static_cast<uint64_t>(raw_val) >> (n_bypass * kBypassPrecision)) != 0)
+        ++n_bypass;
       int32_t val = n_bypass;
       while (val >= static_cast<int32_t>(kMaxBypassVal)) {
         syms.push_back({static_cast<uint16_t>(kMaxBypassVal),
