@@ -340,40 +340,67 @@ class LaneCoder:
         )
 
     # -- device-resident paths ---------------------------------------------
+    def encode_dispatch(self, symbols, indexes):
+        """Queue the on-device encode (prep + scan + compaction) and return
+        an opaque handle; nothing crosses to the host yet. Pair with
+        ``encode_finalize_many`` — splitting dispatch from transfer lets a
+        caller queue every stream of a batch (z phase + y phase) before
+        paying any host roundtrip, so device compute and D2H overlap
+        instead of serializing per stream."""
+        n = int(np.prod(symbols.shape))
+        if n == 0:
+            return None
+        K = self.num_lanes or default_num_lanes(n)
+        M = -(-n // K)
+        magic_m, magic_s = self._magic_tables()
+        out = _encode_device(
+            symbols, indexes, self._cdf_flat, self._offsets, self._max_values,
+            magic_m, magic_s, self._max_len, M, K,
+        )
+        return (n, K, M) + out
+
+    @staticmethod
+    def encode_finalize_many(handles) -> list:
+        """Assemble container bytes for several dispatched encodes with two
+        batched host roundtrips total: one for all counts, one for all
+        (state, sliced-stream, sliced-escape) buffers."""
+        empty = struct.pack("<IIIII", MAGIC, 0, 1, 0, 0) + struct.pack("<I", 1 << 16)
+        live = [(i, h) for i, h in enumerate(handles) if h is not None]
+        results = [empty] * len(handles)
+        if not live:
+            return results
+        counts = jax.device_get(
+            tuple((h[6], h[7]) for _, h in live)  # (n_words, n_esc) pairs
+        )
+        sliced = []
+        for (_, h), (nw, ne) in zip(live, counts):
+            n, K, M = h[0], h[1], h[2]
+            sliced.append((
+                h[3],
+                _slicer(min(_bucket(max(int(nw), 1)), M * K))(h[4]),
+                _slicer(min(_bucket(max(int(ne), 1)), M * K))(h[5]),
+            ))
+        bufs = jax.device_get(tuple(sliced))
+        for (pos, h), (nw, ne), (states, stream, escs) in zip(live, counts, bufs):
+            n, K = h[0], h[1]
+            nw, ne = int(nw), int(ne)
+            stream = np.asarray(stream[:nw], np.uint16)
+            esc_val = np.asarray(escs[:ne], np.int32)
+            header = struct.pack("<IIIII", MAGIC, n, K, ne, nw)
+            results[pos] = b"".join([
+                header,
+                np.asarray(states, np.uint32).astype("<u4").tobytes(),
+                stream.astype("<u2").tobytes(),
+                _zigzag_varint_encode(esc_val),
+            ])
+        return results
+
     def encode_from_device(self, symbols, indexes) -> bytes:
         """Encode device-resident int32 symbols/indexes: prep, scan, and
         compaction all run on device; only the compacted stream (bucketed
         to power-of-two lengths so transfer shapes stay cached) and two
         scalar counts cross to the host."""
-        n = int(np.prod(symbols.shape))
-        if n == 0:
-            return struct.pack("<IIIII", MAGIC, 0, 1, 0, 0) + struct.pack("<I", 1 << 16)
-        K = self.num_lanes or default_num_lanes(n)
-        M = -(-n // K)
-
-        magic_m, magic_s = self._magic_tables()
-        x_final, stream_buf, esc_buf, n_words, n_esc = _encode_device(
-            symbols, indexes, self._cdf_flat, self._offsets, self._max_values,
-            magic_m, magic_s, self._max_len, M, K,
-        )
-        nw, ne = jax.device_get((n_words, n_esc))
-        nw, ne = int(nw), int(ne)
-        states, stream, escs = jax.device_get(
-            (
-                x_final,
-                _slicer(min(_bucket(max(nw, 1)), M * K))(stream_buf),
-                _slicer(min(_bucket(max(ne, 1)), M * K))(esc_buf),
-            )
-        )
-        stream = np.asarray(stream[:nw], np.uint16)
-        esc_val = np.asarray(escs[:ne], np.int32)
-        header = struct.pack("<IIIII", MAGIC, n, K, ne, nw)
-        return b"".join([
-            header,
-            np.asarray(states, np.uint32).astype("<u4").tobytes(),
-            stream.astype("<u2").tobytes(),
-            _zigzag_varint_encode(esc_val),
-        ])
+        return self.encode_finalize_many([self.encode_dispatch(symbols, indexes)])[0]
 
     def decode_to_device(self, data: bytes, indexes) -> jax.Array:
         """Decode a v2 stream against device-resident indexes; the decoded

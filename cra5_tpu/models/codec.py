@@ -154,10 +154,10 @@ class ImageCodec(_CodecBase):
         if self.kind == "factorized":
             if self.coder == "v2":
                 idx = self._channel_indexes_dev(out["y_sym"].shape)
-                y_strings = [
-                    self._eb_coder.encode_from_device(out["y_sym"][i], idx[i])
+                y_strings = self._eb_coder.encode_finalize_many([
+                    self._eb_coder.encode_dispatch(out["y_sym"][i], idx[i])
                     for i in range(out["y_sym"].shape[0])
-                ]
+                ])
             else:
                 y_sym = np.asarray(out["y_sym"])
                 idx = self._channel_indexes(y_sym.shape)
@@ -171,18 +171,21 @@ class ImageCodec(_CodecBase):
             }
 
         if self.coder == "v2":
+            # dispatch every stream before any host transfer, then finalize
+            # with two batched roundtrips (see LaneCoder.encode_dispatch)
             gc_idx = self._gc_index(out["scales"])
             z_idx = self._channel_indexes_dev(out["z_sym"].shape)
-            z_strings = [
-                self._eb_coder.encode_from_device(out["z_sym"][i], z_idx[i])
-                for i in range(out["z_sym"].shape[0])
-            ]
-            y_strings = [
-                self._gc_coder.encode_from_device(out["y_sym"][i], gc_idx[i])
+            B = out["z_sym"].shape[0]
+            handles = [
+                self._eb_coder.encode_dispatch(out["z_sym"][i], z_idx[i])
+                for i in range(B)
+            ] + [
+                self._gc_coder.encode_dispatch(out["y_sym"][i], gc_idx[i])
                 for i in range(out["y_sym"].shape[0])
             ]
+            streams = self._eb_coder.encode_finalize_many(handles)
             return {
-                "strings": [y_strings, z_strings],
+                "strings": [streams[B:], streams[:B]],
                 "shape": tuple(int(s) for s in out["z_shape"]),
             }
 

@@ -453,21 +453,26 @@ class VAEformerCodec:
     def _compress_symbols(self, out) -> Dict[str, Any]:
         if self.coder == "v2":
             # fully device-resident coding: symbols never cross to host;
-            # only the compacted streams do
+            # only the compacted streams do. All z and y encodes of the
+            # batch are DISPATCHED before any host transfer, then finalized
+            # with two batched roundtrips (LaneCoder.encode_finalize_many) —
+            # the per-stream device_get serialization was the dominant
+            # per-phase dispatch cost at batch > 1.
             gc_idx_dev = out["gc_idx"]
             z_sym_dev = out["z_sym"]
             B, C = z_sym_dev.shape[:2]
             z_idx_dev = jnp.broadcast_to(
                 jnp.arange(C, dtype=jnp.int32)[None, :, None, None], z_sym_dev.shape
             )
-            z_strings = [
-                self._eb_coder.encode_from_device(z_sym_dev[i], z_idx_dev[i])
+            handles = [
+                self._eb_coder.encode_dispatch(z_sym_dev[i], z_idx_dev[i])
                 for i in range(B)
-            ]
-            y_strings = [
-                self._gc_coder.encode_from_device(out["y_sym"][i], gc_idx_dev[i])
+            ] + [
+                self._gc_coder.encode_dispatch(out["y_sym"][i], gc_idx_dev[i])
                 for i in range(out["y_sym"].shape[0])
             ]
+            streams = self._eb_coder.encode_finalize_many(handles)
+            z_strings, y_strings = streams[:B], streams[B:]
             zs = tuple(int(s) for s in out["z_shape"])
             return {"strings": [y_strings, z_strings], "z_shape": zs, "shape": zs}
 

@@ -59,16 +59,38 @@ def _attend(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def trunc_normal_init(stddev: float = 0.02, scale: float = 1.0):
+    """The reference's Linear init: trunc_normal(std=0.02)
+    (vit_nlc.py:646-655 _init_weights), optionally folded with the
+    fix_init_weight depth rescale 1/sqrt(2*layer_id) applied at init time
+    (vit_nlc.py:438-444 — a pure init-time transform there too, overwritten
+    by loaded weights). Matching the reference's init scale matters for
+    training parity: flax's lecun_normal default is ~10x wider at small
+    embed dims and measurably slows RD convergence."""
+    base = nn.initializers.truncated_normal(stddev=stddev)
+    if scale == 1.0:
+        return base
+
+    def init(key, shape, dtype=jnp.float32):
+        return base(key, shape, dtype) * scale
+
+    return init
+
+
 class Mlp(nn.Module):
     hidden_features: int
     out_features: int
+    out_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.hidden_features, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(), name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(scale=self.out_init_scale),
+                     name="fc2")(x)
         return x
 
 
@@ -94,6 +116,7 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool = True
+    proj_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,12 +124,15 @@ class Attention(nn.Module):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(), name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         out = _attend(q, k, v, scale)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype,
+                        kernel_init=trunc_normal_init(scale=self.proj_init_scale),
+                        name="proj")(out)
 
 
 def window_partition(x: jax.Array, wh: int, ww: int) -> jax.Array:
@@ -137,6 +163,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: Tuple[int, int]
     qkv_bias: bool = True
+    proj_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -155,12 +182,15 @@ class WindowAttention(nn.Module):
 
         xw = window_partition(x, wh, ww)  # (B*nW, wh*ww, C)
         Bw, Nw, _ = xw.shape
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(xw)
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(), name="qkv")(xw)
         qkv = qkv.reshape(Bw, Nw, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         out = _attend(q, k, v, scale)
         out = out.transpose(0, 2, 1, 3).reshape(Bw, Nw, C)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(scale=self.proj_init_scale),
+                       name="proj")(out)
 
         x = window_reverse(out, wh, ww, Hp, Wp)
         if pad_b or pad_r:
@@ -178,23 +208,29 @@ class Block(nn.Module):
     qkv_bias: bool = True
     window_size: Optional[Tuple[int, int]] = None
     drop_path: float = 0.0
+    layer_id: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, H: int, W: int, deterministic: bool = True) -> jax.Array:
+        # reference fix_init_weight: attn.proj and mlp.fc2 kernels scaled by
+        # 1/sqrt(2*(layer_id+1)) at init (vit_nlc.py:438-444)
+        rescale = (2.0 * (self.layer_id + 1)) ** -0.5 if self.layer_id is not None else 1.0
         if self.window_size is not None:
             attn = WindowAttention(
                 self.dim, self.num_heads, self.window_size, self.qkv_bias,
-                dtype=self.dtype, name="attn",
+                proj_init_scale=rescale, dtype=self.dtype, name="attn",
             )
         else:
-            attn = Attention(self.dim, self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn")
+            attn = Attention(self.dim, self.num_heads, self.qkv_bias,
+                             proj_init_scale=rescale, dtype=self.dtype, name="attn")
         dp = DropPath(self.drop_path)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + dp(attn(h, H, W), deterministic)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + dp(
-            Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(h),
+            Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                out_init_scale=rescale, dtype=self.dtype, name="mlp")(h),
             deterministic,
         )
         return x

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .blocks import Block, Mlp
+from .blocks import Block, Mlp, trunc_normal_init
 from .patch_embed import PatchEmbed, PatchUnembed
 from .pos_embed import get_2d_sincos_pos_embed
 
@@ -98,7 +98,7 @@ class ViTEncoder(nn.Module):
         n_seq = self.depth // 2  # sequential slots (last one is dualized)
         dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
 
-        def make_block(i: int, name: str):
+        def make_block(i: int, name: str, layer_id: int):
             return _block_cls(self.remat)(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
@@ -106,15 +106,16 @@ class ViTEncoder(nn.Module):
                 qkv_bias=self.qkv_bias,
                 window_size=_win_for_block(i, self.window, self.interval, self.window_sizes),
                 drop_path=float(dpr[i]),
+                layer_id=layer_id,
                 dtype=self.dtype,
                 name=name,
             )
 
         h = tokens
         for i in range(n_seq - 1):
-            h = make_block(i, f"blocks_{i}")(h, Hp, Wp, deterministic)
-        mean = make_block(n_seq - 1, f"blocks_{n_seq - 1}")(h, Hp, Wp, deterministic)
-        logvar = make_block(n_seq - 1, f"blocks_{n_seq}")(h, Hp, Wp, deterministic)
+            h = make_block(i, f"blocks_{i}", i)(h, Hp, Wp, deterministic)
+        mean = make_block(n_seq - 1, f"blocks_{n_seq - 1}", n_seq - 1)(h, Hp, Wp, deterministic)
+        logvar = make_block(n_seq - 1, f"blocks_{n_seq}", n_seq)(h, Hp, Wp, deterministic)
         out = jnp.concatenate([mean, logvar], axis=2)  # (B, N, 2*D)
 
         if self.z_dim is not None:
@@ -175,6 +176,7 @@ class ViTDecoder(nn.Module):
                 qkv_bias=self.qkv_bias,
                 window_size=_win_for_block(i, self.window, self.interval, self.window_sizes),
                 drop_path=float(dpr[i]),
+                layer_id=j,
                 dtype=self.dtype,
                 name=f"blocks_{j}",
             )(x, Hp, Wp, deterministic)
@@ -188,7 +190,8 @@ class ViTDecoder(nn.Module):
             )(x, (Hp, Wp))
         # linear un-patchify: (B, N, D) -> (B, out, Hp*p1, Wp*p2)
         p1, p2 = self.patch_size
-        x = nn.Dense(self.out_chans * p1 * p2, use_bias=False, dtype=self.dtype, name="final")(x)
+        x = nn.Dense(self.out_chans * p1 * p2, use_bias=False, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(), name="final")(x)
         x = x.reshape(B, Hp, Wp, p1, p2, self.out_chans)
         x = x.transpose(0, 5, 1, 3, 2, 4)
         return x.reshape(B, self.out_chans, Hp * p1, Wp * p2)
@@ -242,6 +245,7 @@ class HyperEncoder(nn.Module):
                 qkv_bias=self.qkv_bias,
                 window_size=None,  # hyperprior runs global attention
                 drop_path=float(dpr[i]),
+                layer_id=i,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, Hp, Wp, deterministic)
@@ -292,6 +296,7 @@ class HyperDecoder(nn.Module):
                 qkv_bias=self.qkv_bias,
                 window_size=None,
                 drop_path=float(dpr[i]),
+                layer_id=j,
                 dtype=self.dtype,
                 name=f"blocks_{j}",
             )(x, Hp, Wp, deterministic)
@@ -299,7 +304,8 @@ class HyperDecoder(nn.Module):
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         p1, p2 = self.patch_size
         x = nn.Dense(
-            2 * self.out_chans * p1 * p2, use_bias=False, dtype=self.dtype, name="final"
+            2 * self.out_chans * p1 * p2, use_bias=False, dtype=self.dtype,
+            kernel_init=trunc_normal_init(), name="final"
         )(x)
         x = x.reshape(B, Hp, Wp, p1, p2, 2 * self.out_chans)
         x = x.transpose(0, 5, 1, 3, 2, 4)

@@ -1,0 +1,270 @@
+"""Trained RD parity: reference torch VAEformer vs cra5_tpu, side by side.
+
+Addresses round-1 VERDICT missing #1: train the SAME tiny VAEformer
+geometry in both frameworks on IDENTICAL synthetic ERA5-like data with
+the same loss (bpp + lambda*MSE), optimizer family, learning rates, and
+batch schedule; then measure, per lambda operating point:
+
+  - entropy-estimation bpsp (from likelihoods, the reference
+    eval_model --entropy-estimation oracle),
+  - REAL coded bpsp (post-training CDF update + actual rANS coding),
+  - reconstruction MSE and latitude-weighted RMSE (WeatherBench WRMSE).
+
+The torch side runs the reference's own modules unmodified via
+tests/ref_torch.py (reference vaeformer.py:70-330, losses/
+rate_distortion.py:40-92, optimizers/net_aux.py:39-74). Both sides code
+through bit-identical rANS (tests/test_ref_cross.py), so coded-bpsp
+differences reflect the learned models only.
+
+Writes RD_PARITY.json (reference plot schema per framework) and
+RD_PARITY.md at the repo root:
+    python tests/goldens/gen_rd_parity.py [--steps 400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+for p in (REPO, os.path.join(REPO, "tests")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+C, H, W = 8, 40, 40
+LAMBDAS = (8.0, 64.0, 512.0)
+BATCH = 8
+LR, AUX_LR = 1e-4, 1e-3
+
+
+def synth_fields(seed: int, n: int) -> np.ndarray:
+    """Smooth multi-scale ERA5-like fields, ~unit variance, (n, C, H, W)."""
+    rng = np.random.default_rng(seed)
+    ys = np.linspace(0, 2 * np.pi, H)[None, None, :, None]
+    xs = np.linspace(0, 2 * np.pi, W)[None, None, None, :]
+    phase = rng.uniform(0, 2 * np.pi, (n, C, 1, 1))
+    freq = rng.integers(1, 4, (n, C, 1, 1))
+    base = np.sin(freq * ys + phase) * np.cos(freq * xs + phase)
+    ripple = 0.3 * np.sin(3 * freq * xs + 2 * phase) * np.cos(2 * freq * ys)
+    noise = 0.05 * rng.normal(size=(n, C, H, W))
+    return (base + ripple + noise).astype(np.float32)
+
+
+def wrmse(pred: np.ndarray, target: np.ndarray) -> float:
+    """Latitude-weighted RMSE, mean over channels (WeatherBench; the H
+    axis spans pole to pole)."""
+    lat = np.linspace(-90, 90, H) * np.pi / 180
+    w = np.cos(lat)
+    w = w / w.mean()
+    se = (pred - target) ** 2 * w[None, None, :, None]
+    return float(np.sqrt(se.mean(axis=(0, 2, 3))).mean())
+
+
+def bits_from_likelihoods(liks) -> float:
+    return float(sum(-np.log2(np.asarray(l)).sum() for l in liks))
+
+
+# ---------------------------------------------------------------------------
+# torch reference side
+# ---------------------------------------------------------------------------
+
+
+def run_reference(lmbda: float, steps: int, train: np.ndarray, test: np.ndarray):
+    import torch
+
+    from ref_torch import build_tiny_ref_vaeformer, load_reference
+
+    load_reference()
+    from cra5.models.compressai.losses.rate_distortion import RateDistortionLoss
+
+    model = build_tiny_ref_vaeformer(seed=0)
+    criterion = RateDistortionLoss(lmbda=lmbda, bpp_weight=1.0, metric="mse")
+    # net/aux split exactly as the reference optimizer builder
+    # (optimizers/net_aux.py:39-74): aux trains only *.quantiles
+    aux_params = [p for n, p in model.named_parameters() if n.endswith(".quantiles")]
+    net_params = [p for n, p in model.named_parameters() if not n.endswith(".quantiles")]
+    opt = torch.optim.Adam(net_params, lr=LR)
+    aux_opt = torch.optim.Adam(aux_params, lr=AUX_LR)
+
+    n = train.shape[0]
+    model.train()
+    for step in range(steps):
+        idx = np.arange(step * BATCH, (step + 1) * BATCH) % n
+        x = torch.from_numpy(train[idx])
+        out = model(x)
+        losses = criterion(out, x)
+        loss = losses["bpp_loss"] + losses["mse_loss"]
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        aux = model.aux_loss()
+        aux_opt.zero_grad()
+        aux.backward()
+        aux_opt.step()
+
+    model.eval()
+    model.update(force=True)
+    xt = torch.from_numpy(test)
+    with torch.no_grad():
+        out = model(xt)
+        est_bits = bits_from_likelihoods(
+            [v.numpy() for v in out["likelihoods"].values()]
+        )
+        x_hat = out["x_hat"].numpy()
+        # real coding through the reference compress/decompress path
+        # (vaeformer.py:350-404), one sample at a time as its API expects
+        coded_bits = 0
+        recs = []
+        for i in range(test.shape[0]):
+            comp = model.compress(xt[i : i + 1])
+            coded_bits += 8 * sum(len(s[0]) for s in comp["strings"])
+            dec = model.decompress(comp["strings"], comp["z_shape"])
+            recs.append(dec["x_hat"].numpy()[0])
+    x_dec = np.stack(recs)
+    npix = test.shape[0] * C * H * W
+    return {
+        "est_bpsp": est_bits / npix,
+        "coded_bpsp": coded_bits / npix,
+        "mse": float(((x_hat - test) ** 2).mean()),
+        "wrmse": wrmse(x_dec, test),
+    }
+
+
+# ---------------------------------------------------------------------------
+# cra5_tpu side
+# ---------------------------------------------------------------------------
+
+
+def run_ours(lmbda: float, steps: int, train: np.ndarray, test: np.ndarray):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from cra5_tpu.models import VAEformer, VAEformerCodec
+    from cra5_tpu.models.vaeformer import VAEformerConfig
+    from cra5_tpu.train import Trainer, TrainerConfig
+
+    cfg = VAEformerConfig(
+        in_chans=C, img_size=(H, W), patch_size=(10, 10), patch_stride=(10, 10),
+        embed_dim=8, y_channels=16, z_channels=8, depth=4, num_heads=2,
+        window_sizes=((2, 2), (1, 4), (4, 1)), interval=2,
+        hyper_embed_dim=12, hyper_depth=2, hyper_num_heads=2, hyper_patch=(2, 2),
+        use_conv_transpose=False, name="rd_parity_tiny",
+    )
+    model = VAEformer(cfg)
+    trainer = Trainer(
+        model,
+        TrainerConfig(
+            learning_rate=LR, aux_learning_rate=AUX_LR, lmbda=lmbda,
+            bpp_weight=1.0, use_ema=False, log_every=10**9, ckpt_every=10**9,
+        ),
+    )
+    n = train.shape[0]
+    state = trainer.init_state(jnp.asarray(train[:BATCH]))
+    for step in range(steps):
+        idx = np.arange(step * BATCH, (step + 1) * BATCH) % n
+        state, _ = trainer._step_fn(
+            state, jnp.asarray(train[idx]), jax.random.PRNGKey(step)
+        )
+
+    codec = VAEformerCodec(model, {"params": state.params}, coder="v1")
+    codec.update(force=True)
+    out = codec.forward(jnp.asarray(test))
+    est_bits = bits_from_likelihoods(
+        [np.asarray(v) for v in out["likelihoods"].values()]
+    )
+    x_hat = np.asarray(out["x_hat"])
+    comp = codec.compress(jnp.asarray(test))
+    coded_bits = 8 * sum(len(s) for g in comp["strings"] for s in g)
+    dec = codec.decompress(comp["strings"], comp["shape"])
+    x_dec = np.asarray(dec["x_hat"])
+    npix = test.shape[0] * C * H * W
+    return {
+        "est_bpsp": est_bits / npix,
+        "coded_bpsp": coded_bits / npix,
+        "mse": float(((x_hat - test) ** 2).mean()),
+        "wrmse": wrmse(x_dec, test),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--lambdas", type=float, nargs="+", default=list(LAMBDAS))
+    args = ap.parse_args(argv)
+
+    train = synth_fields(0, 64)
+    test = synth_fields(1, 8)
+
+    rows = []
+    for lam in args.lambdas:
+        t0 = time.time()
+        ref = run_reference(lam, args.steps, train, test)
+        t_ref = time.time() - t0
+        t0 = time.time()
+        ours = run_ours(lam, args.steps, train, test)
+        t_ours = time.time() - t0
+        rows.append({"lmbda": lam, "reference": ref, "cra5_tpu": ours,
+                     "train_s": {"reference": t_ref, "cra5_tpu": t_ours}})
+        print(json.dumps(rows[-1]))
+
+    results = {
+        "geometry": {"C": C, "H": H, "W": W, "steps": args.steps,
+                     "batch": BATCH, "lr": LR, "aux_lr": AUX_LR},
+        "rows": rows,
+    }
+    # reference plot schema, one curve per framework
+    for side in ("reference", "cra5_tpu"):
+        results[side] = {
+            "name": f"tiny-vaeformer-{side}",
+            "description": "RD parity harness (synthetic ERA5-like)",
+            "results": {
+                "bpsp": [r[side]["coded_bpsp"] for r in rows],
+                "est_bpsp": [r[side]["est_bpsp"] for r in rows],
+                "MSE": [r[side]["mse"] for r in rows],
+                "WRMSE": [r[side]["wrmse"] for r in rows],
+            },
+        }
+    out_json = os.path.join(REPO, "RD_PARITY.json")
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=1)
+
+    lines = [
+        "# RD parity: reference (torch) vs cra5_tpu — trained, same data",
+        "",
+        "Generated by `tests/goldens/gen_rd_parity.py` (see its docstring for",
+        "the protocol). Identical synthetic ERA5-like data, geometry, loss,",
+        "optimizers, and batch schedule; independent native initializations.",
+        f"Steps: {args.steps}, batch {BATCH}, lr {LR}/{AUX_LR}, {C}x{H}x{W}.",
+        "",
+        "| lambda | framework | coded bpsp | est. bpsp | MSE | WRMSE |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        for side in ("reference", "cra5_tpu"):
+            d = r[side]
+            lines.append(
+                f"| {r['lmbda']:g} | {side} | {d['coded_bpsp']:.4f} | "
+                f"{d['est_bpsp']:.4f} | {d['mse']:.5f} | {d['wrmse']:.5f} |"
+            )
+    lines += [
+        "",
+        "Full numbers in `RD_PARITY.json`. Both sides entropy-code with",
+        "bit-identical rANS (tests/test_ref_cross.py), so bpsp differences",
+        "reflect the learned models, not the coder.",
+    ]
+    with open(os.path.join(REPO, "RD_PARITY.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote RD_PARITY.json and RD_PARITY.md ({len(rows)} operating points)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
