@@ -7,6 +7,15 @@ Baseline: the reference's published per-sample GPU latency (VIVT eval,
 encode 0.0983-0.1002 s + decode 0.0343-0.0350 s => ~7.5 roundtrips/s).
 The metric here is full 268v compress -> bytes -> decompress roundtrips
 per second (model forward + entropy coding, host<->device included).
+
+BENCH_FULL=1 additionally records every BASELINE.json config as extra
+JSON lines on stderr:
+  config 1: 159v single-timestep roundtrip
+  config 2: the headline 268v roundtrip (always)
+  config 3: batched encode throughput (BENCH_BATCH, default 8 in full mode)
+  config 4: decoder-only serving (decompress stream at fixed input)
+  config 5: data-parallel recompression on a virtual 8-device CPU mesh
+            (run in a subprocess; the real chip count here is 1)
 """
 
 import json
@@ -36,6 +45,7 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))  # batched 24h-style encode
+    full = os.environ.get("BENCH_FULL", "0") == "1"
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else jnp.float32
 
     # warm the device->host data plane concurrently with the init compile:
@@ -96,10 +106,143 @@ def main():
         "vs_baseline": round(throughput / baseline, 4),
     }
     print(json.dumps(result))
+
+    extras = {}
+    if full:
+        # config 4: decoder-only serving (bin_to_latent + reconstruction)
+        try:
+            dec_only = []
+            for _ in range(iters):
+                t0 = time.time()
+                dec = codec.decompress(out["strings"], out["z_shape"])
+                jax.block_until_ready(dec["x_hat"])
+                dec_only.append(time.time() - t0)
+            extras["config4_decoder_only"] = {
+                "decodes_per_sec": round(batch / float(np.median(dec_only)), 4),
+                "median_s": round(float(np.median(dec_only)), 4),
+                "batch": batch,
+            }
+            print(json.dumps({"config4": extras["config4_decoder_only"]}), file=sys.stderr)
+        except Exception as e:  # keep the headline metric alive
+            extras["config4_decoder_only"] = {"error": repr(e)}
+
+        # config 1: 159v single-timestep roundtrip
+        try:
+            from cra5_tpu.models import vaeformer_159
+
+            cfg159 = vaeformer_159()
+            model159 = VAEformer(cfg159, dtype=dtype)
+            x159 = jax.random.normal(
+                jax.random.PRNGKey(2), (1, cfg159.in_chans, *cfg159.img_size), jnp.float32
+            )
+            v159 = jax.jit(model159.init)(jax.random.PRNGKey(0), x159)
+            codec159 = VAEformerCodec(model159, v159, coder=os.environ.get("BENCH_CODER", "v2"))
+            codec159.update()
+            o159 = codec159.compress(x159)
+            d159 = codec159.decompress(o159["strings"], o159["z_shape"])
+            jax.block_until_ready(d159["x_hat"])
+            rts = []
+            for _ in range(max(2, iters // 2)):
+                t0 = time.time()
+                o159 = codec159.compress(x159)
+                d159 = codec159.decompress(o159["strings"], o159["z_shape"])
+                jax.block_until_ready(d159["x_hat"])
+                rts.append(time.time() - t0)
+            extras["config1_159v"] = {
+                "roundtrips_per_sec": round(1.0 / float(np.median(rts)), 4),
+                "median_s": round(float(np.median(rts)), 4),
+            }
+            print(json.dumps({"config1": extras["config1_159v"]}), file=sys.stderr)
+            del model159, v159, codec159, x159, o159, d159
+        except Exception as e:
+            extras["config1_159v"] = {"error": repr(e)}
+
+        # config 3: batched 24h-style encode throughput (bf16 inputs; falls
+        # back 8 -> 4 -> 2 if the window-attention activations exhaust HBM)
+        for bb in (int(os.environ.get("BENCH_BATCH_BIG", "8")), 4, 2):
+            xb = ob = None
+            try:
+                xb = jax.random.normal(
+                    jax.random.PRNGKey(1), (bb, cfg.in_chans, *cfg.img_size), jnp.bfloat16
+                )
+                codec.compress(xb)  # compile + warm
+                enc_b = []
+                for _ in range(max(2, iters // 2)):
+                    t0 = time.time()
+                    ob = codec.compress(xb)
+                    enc_b.append(time.time() - t0)
+                bbytes = sum(len(s) for grp in ob["strings"] for s in grp)
+                extras["config3_batched_encode"] = {
+                    "encodes_per_sec": round(bb / float(np.median(enc_b)), 4),
+                    "median_s": round(float(np.median(enc_b)), 4),
+                    "batch": bb,
+                    "stream_mb": round(bbytes / 1e6, 2),
+                }
+                print(json.dumps({"config3": extras["config3_batched_encode"]}), file=sys.stderr)
+                break
+            except Exception as e:
+                extras["config3_batched_encode"] = {"error": repr(e), "batch": bb}
+            finally:
+                del xb, ob
+
+        # config 5: data-parallel recompression over a virtual 8-device CPU
+        # mesh (subprocess so the TPU process stays single-owner)
+        try:
+            import subprocess
+            import tempfile
+
+            script = (
+                "import os\n"
+                "os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS','') + "
+                "' --xla_force_host_platform_device_count=8'\n"
+                "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+                "import sys, time, numpy as np\n"
+                "from cra5_tpu.tools import recompress\n"
+                "indir, outdir = sys.argv[1], sys.argv[2]\n"
+                "t0 = time.time()\n"
+                "rc = recompress.main([indir, '-o', outdir, '--config', 'tiny'])\n"
+                "print('ELAPSED', time.time() - t0)\n"
+                "sys.exit(rc)\n"
+            )
+            with tempfile.TemporaryDirectory(prefix="bench_rc_") as td:
+                indir = os.path.join(td, "in")
+                os.makedirs(indir)
+                rng_np = np.random.default_rng(0)
+                n_ts = 16
+                for i in range(n_ts):
+                    np.save(
+                        os.path.join(indir, f"ts{i}.npy"),
+                        rng_np.normal(size=(8, 41, 40)).astype(np.float32),
+                    )
+                proc = subprocess.run(
+                    [sys.executable, "-c", script, indir, os.path.join(td, "out")],
+                    capture_output=True, text=True, timeout=1200,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                elapsed = None
+                for line in proc.stdout.splitlines():
+                    if line.startswith("ELAPSED"):
+                        elapsed = float(line.split()[1])
+                if proc.returncode == 0 and elapsed:
+                    extras["config5_mesh_recompress"] = {
+                        "samples_per_sec": round(n_ts / elapsed, 4),
+                        "n_samples": n_ts,
+                        "mesh": "8 virtual cpu devices (1 real chip present)",
+                    }
+                else:
+                    extras["config5_mesh_recompress"] = {
+                        "error": f"rc={proc.returncode}",
+                        "tail": proc.stderr[-300:],
+                    }
+            print(json.dumps({"config5": extras.get("config5_mesh_recompress")}), file=sys.stderr)
+        except Exception as e:
+            extras["config5_mesh_recompress"] = {"error": repr(e)}
+
     print(
         json.dumps(
             {
                 "detail": {
+                    **({"baseline_configs": extras} if extras else {}),
                     "mean_roundtrip_s": round(mean_t, 4),
                     "mean_encode_s": round(float(np.mean(enc_times)), 4),
                     "mean_decode_s": round(float(np.mean(dec_times)), 4),

@@ -39,17 +39,25 @@ def set_flash_attention(mode: str) -> None:
     _FLASH_MODE = mode
 
 
-def _use_flash(n: int) -> bool:
+_FLASH_MIN_LOGIT_BYTES = 1 << 30  # 1 GiB of f32 logits
+
+
+def _use_flash(n: int, batch_heads: int = 1) -> bool:
     if _FLASH_MODE == "off":
         return False
     if _FLASH_MODE == "on":
         return True
-    return n >= _FLASH_MIN_SEQ and jax.default_backend() in ("tpu", "axon")
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    # long sequences (the reference's flash-attn case), OR short windows
+    # whose total (B*nW, H, N, N) f32 logits would flood HBM — the batched
+    # 268v encode has 144 windows x 16 heads x 576^2 at batch 8
+    return n >= _FLASH_MIN_SEQ or batch_heads * n * n * 4 >= _FLASH_MIN_LOGIT_BYTES
 
 
 def _attend(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     """q, k, v: (B, H, N, D). Softmax in float32."""
-    if _use_flash(q.shape[2]):
+    if _use_flash(q.shape[2], q.shape[0] * q.shape[1]):
         from ..ops.attention import flash_attention
 
         return flash_attention(q, k, v, scale)
