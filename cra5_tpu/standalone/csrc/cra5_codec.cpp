@@ -161,8 +161,10 @@ std::vector<uint32_t> encode_stream(const Tables &tb, const int32_t *symbols,
     syms.push_back({static_cast<uint16_t>(cdf[value]),
                     static_cast<uint16_t>(cdf[value + 1] - cdf[value]), false});
     if (value == max_value) {
+      // 64-bit shift: a uint32 loop hits shift-by-32 UB for raw_val >= 2^28
+      // (see coder/csrc/rans64.cpp)
       int32_t nb = 0;
-      while ((raw_val >> (nb * kBypassPrecision)) != 0) ++nb;
+      while ((static_cast<uint64_t>(raw_val) >> (nb * kBypassPrecision)) != 0) ++nb;
       int32_t val = nb;
       while (val >= static_cast<int32_t>(kMaxBypassVal)) {
         syms.push_back({static_cast<uint16_t>(kMaxBypassVal), 0, true});
@@ -234,6 +236,173 @@ bool decode_stream(const Tables &tb, const uint32_t *words, size_t nwords,
   return true;
 }
 
+// ---- format v2: interleaved-lane rANS (coder/rans_tpu.py container) ----
+//
+// Byte-compatible with the TPU LaneCoder so v2 archives produced on TPU
+// decode in pure C++ (and vice versa). Layout, little-endian:
+//   uint32 magic "CRX2", n, K, n_esc, n_words;
+//   K x uint32 final lane states;
+//   n_words x uint16 stream (ordered by (step asc, lane asc));
+//   zigzag-LEB128 escape values (flat symbol order).
+// Symbol g lives in lane g % K at step g / K; 32-bit lane state with
+// 16-bit renorm words, lower bound 2^16.
+
+constexpr uint32_t kLaneMagic = 0x32585243u;  // "CRX2"
+constexpr uint32_t kLaneL = 1u << 16;
+
+int default_num_lanes(size_t n) {
+  size_t k = 1;
+  while (k * 2 <= (n > 512 ? n / 512 : 1) && k < 4096) k *= 2;
+  return static_cast<int>(k);
+}
+
+void zigzag_append(std::vector<uint8_t> &out, int32_t v) {
+  uint64_t u = v >= 0 ? (static_cast<uint64_t>(v) << 1)
+                      : ((static_cast<uint64_t>(-(static_cast<int64_t>(v)) - 1) << 1) | 1);
+  do {
+    uint8_t b = u & 0x7F;
+    u >>= 7;
+    out.push_back(b | (u ? 0x80 : 0));
+  } while (u);
+}
+
+bool zigzag_read(const uint8_t *p, size_t len, size_t count, std::vector<int32_t> &vals) {
+  vals.clear();
+  vals.reserve(count);
+  size_t i = 0;
+  for (size_t c = 0; c < count; ++c) {
+    uint64_t u = 0;
+    int shift = 0;
+    while (true) {
+      if (i >= len || shift > 63) return false;
+      uint8_t b = p[i++];
+      u |= static_cast<uint64_t>(b & 0x7F) << shift;
+      shift += 7;
+      if (!(b & 0x80)) break;
+    }
+    int64_t v = (u & 1) ? -static_cast<int64_t>(u >> 1) - 1 : static_cast<int64_t>(u >> 1);
+    vals.push_back(static_cast<int32_t>(v));
+  }
+  return true;
+}
+
+std::vector<uint8_t> lane_encode(const Tables &tb, const int32_t *symbols,
+                                 const int32_t *indexes, size_t n) {
+  const int K = default_num_lanes(n);
+  const size_t M = (n + K - 1) / K;
+  const size_t total = M * K;
+
+  // per-slot coding params (padded slots: cdf row 0, in-range symbol)
+  std::vector<uint16_t> starts(total), freqs(total);
+  std::vector<uint8_t> is_esc(total, 0);
+  std::vector<int32_t> esc_syms;
+  for (size_t g = 0; g < total; ++g) {
+    int32_t k = g < n ? indexes[g] : 0;
+    int32_t sym = g < n ? symbols[g] : tb.offset[0];
+    const int32_t *cdf = tb.cdf.data() + static_cast<size_t>(k) * tb.stride;
+    const int32_t max_value = tb.length[k] - 2;
+    int32_t v = sym - tb.offset[k];
+    int32_t bin = v;
+    if (v < 0 || v >= max_value) {
+      bin = max_value;
+      is_esc[g] = 1;
+      esc_syms.push_back(sym);
+    }
+    starts[g] = static_cast<uint16_t>(cdf[bin]);
+    freqs[g] = static_cast<uint16_t>(cdf[bin + 1] - cdf[bin]);
+  }
+
+  // reverse scan over steps; emissions at (t, l) recorded in place
+  std::vector<uint32_t> x(K, kLaneL);
+  std::vector<uint8_t> emit(total, 0);
+  std::vector<uint16_t> words(total);
+  for (size_t t = M; t-- > 0;) {
+    for (int l = 0; l < K; ++l) {
+      const size_t g = t * K + l;
+      const uint32_t freq = freqs[g];
+      const uint32_t x_max = freq << kPrecision;
+      if (x[l] >= x_max) {
+        emit[g] = 1;
+        words[g] = static_cast<uint16_t>(x[l] & 0xFFFF);
+        x[l] >>= kPrecision;
+      }
+      x[l] = ((x[l] / freq) << kPrecision) + (x[l] % freq) + starts[g];
+    }
+  }
+
+  std::vector<uint16_t> stream;
+  stream.reserve(total / 2);
+  for (size_t g = 0; g < total; ++g)
+    if (emit[g]) stream.push_back(words[g]);
+
+  std::vector<uint8_t> out;
+  const uint32_t header[5] = {kLaneMagic, static_cast<uint32_t>(n),
+                              static_cast<uint32_t>(K),
+                              static_cast<uint32_t>(esc_syms.size()),
+                              static_cast<uint32_t>(stream.size())};
+  const uint8_t *hp = reinterpret_cast<const uint8_t *>(header);
+  out.insert(out.end(), hp, hp + sizeof header);
+  const uint8_t *xp = reinterpret_cast<const uint8_t *>(x.data());
+  out.insert(out.end(), xp, xp + 4 * x.size());
+  const uint8_t *sp = reinterpret_cast<const uint8_t *>(stream.data());
+  out.insert(out.end(), sp, sp + 2 * stream.size());
+  for (int32_t v : esc_syms) zigzag_append(out, v);
+  return out;
+}
+
+bool lane_decode(const Tables &tb, const uint8_t *data, size_t len,
+                 const int32_t *indexes, size_t n, int32_t *out) {
+  if (len < 20) return false;
+  uint32_t header[5];
+  memcpy(header, data, sizeof header);
+  if (header[0] != kLaneMagic || header[1] != n) return false;
+  const uint32_t K = header[2], n_esc = header[3], n_words = header[4];
+  if (K == 0 || K > 4096) return false;
+  size_t off = 20;
+  if (len < off + 4u * K + 2u * n_words) return false;
+  std::vector<uint32_t> x(K);
+  memcpy(x.data(), data + off, 4u * K);
+  off += 4u * K;
+  const uint16_t *stream = reinterpret_cast<const uint16_t *>(data + off);
+  off += 2u * n_words;
+  std::vector<int32_t> esc_vals;
+  if (!zigzag_read(data + off, len - off, n_esc, esc_vals)) return false;
+
+  const size_t M = (n + K - 1) / K;
+  size_t ptr = 0, esc_i = 0;
+  for (size_t t = 0; t < M; ++t) {
+    for (uint32_t l = 0; l < K; ++l) {
+      const size_t g = t * K + l;
+      const int32_t k = g < n ? indexes[g] : 0;
+      const int32_t *cdf = tb.cdf.data() + static_cast<size_t>(k) * tb.stride;
+      const int32_t size = tb.length[k];
+      const int32_t max_value = size - 2;
+      const uint32_t cum = x[l] & ((1u << kPrecision) - 1);
+      int32_t lo = 0, hi = size - 1;
+      while (hi - lo > 1) {
+        const int32_t mid = (lo + hi) >> 1;
+        if (static_cast<uint32_t>(cdf[mid]) <= cum) lo = mid; else hi = mid;
+      }
+      const uint32_t start = static_cast<uint32_t>(cdf[lo]);
+      const uint32_t freq = static_cast<uint32_t>(cdf[lo + 1]) - start;
+      x[l] = freq * (x[l] >> kPrecision) + cum - start;
+      if (x[l] < kLaneL) {
+        if (ptr >= n_words) return false;
+        x[l] = (x[l] << kPrecision) | stream[ptr++];
+      }
+      if (g < n) {
+        if (lo == max_value) {
+          if (esc_i >= esc_vals.size()) return false;
+          out[g] = esc_vals[esc_i++];
+        } else {
+          out[g] = lo + tb.offset[k];
+        }
+      }
+    }
+  }
+  return esc_i == esc_vals.size();
+}
+
 // ---- RDOQ ----
 
 // bits to code symbol s with cdf row k (escape path costed approximately).
@@ -275,6 +444,8 @@ int usage() {
   fprintf(stderr,
           "usage: cra5_codec encode <tables> <tensor> <out.bin>\n"
           "       cra5_codec decode <tables> <in.bin> <tensor-out>\n"
+          "       cra5_codec encode2 <tables> <tensor> <out.bin>   (v2 lane format)\n"
+          "       cra5_codec decode2 <tables> <in.bin> <tensor-out> (v2 lane format)\n"
           "       cra5_codec rdoq <tables> <float-tensor> <lambda> <tensor-out>\n");
   return 2;
 }
@@ -327,6 +498,53 @@ int main(int argc, char **argv) {
     t.idata.resize(t.size());
     if (!decode_stream(tb, words.data(), words.size(), idx.data(), t.size(), t.idata.data())) {
       fprintf(stderr, "decode failed\n");
+      return 1;
+    }
+    return save_tensor(argv[4], t) ? 0 : 1;
+  }
+
+  if (mode == "encode2" && argc == 5) {
+    Tables tb; Tensor t;
+    if (!load_tables(argv[2], tb)) { fprintf(stderr, "bad tables\n"); return 1; }
+    if (!load_tensor(argv[3], t) || t.is_float) { fprintf(stderr, "bad tensor\n"); return 1; }
+    std::vector<int32_t> idx;
+    channel_indexes(t, idx);
+    std::vector<uint8_t> payload = lane_encode(tb, t.idata.data(), idx.data(), t.size());
+    FILE *f = fopen(argv[4], "wb");
+    if (!f) return 1;
+    fwrite("CRB2", 1, 4, f);
+    int32_t ndim = static_cast<int32_t>(t.dims.size());
+    fwrite(&ndim, 4, 1, f);
+    fwrite(t.dims.data(), 4, t.dims.size(), f);
+    uint32_t nbytes = static_cast<uint32_t>(payload.size());
+    fwrite(&nbytes, 4, 1, f);
+    fwrite(payload.data(), 1, payload.size(), f);
+    fclose(f);
+    printf("%u\n", nbytes);
+    return 0;
+  }
+
+  if (mode == "decode2" && argc == 5) {
+    Tables tb;
+    if (!load_tables(argv[2], tb)) { fprintf(stderr, "bad tables\n"); return 1; }
+    FILE *f = fopen(argv[3], "rb");
+    if (!f) return 1;
+    char magic[4];
+    int32_t ndim;
+    if (!read_exact(f, magic, 4) || memcmp(magic, "CRB2", 4) != 0 ||
+        !read_exact(f, &ndim, 4) || ndim <= 0 || ndim > 8) { fclose(f); return 1; }
+    Tensor t;
+    t.dims.resize(ndim);
+    uint32_t nbytes;
+    if (!read_exact(f, t.dims.data(), 4u * ndim) || !read_exact(f, &nbytes, 4)) { fclose(f); return 1; }
+    std::vector<uint8_t> payload(nbytes);
+    if (!read_exact(f, payload.data(), nbytes)) { fclose(f); return 1; }
+    fclose(f);
+    std::vector<int32_t> idx;
+    channel_indexes(t, idx);
+    t.idata.resize(t.size());
+    if (!lane_decode(tb, payload.data(), payload.size(), idx.data(), t.size(), t.idata.data())) {
+      fprintf(stderr, "v2 decode failed\n");
       return 1;
     }
     return save_tensor(argv[4], t) ? 0 : 1;

@@ -176,3 +176,53 @@ def test_rdoq_jax_matches_behavior(latents, table):
         )
     )
     assert enc(q_lo) <= enc(q_hi)
+
+
+def test_v2_cross_decode_jax_to_cpp(latents, table, tmp_path):
+    """v2 archives produced by the TPU LaneCoder decode in pure C++."""
+    import struct
+
+    from cra5_tpu.coder.rans_tpu import LaneCoder
+
+    sym = np.round(latents[0] * 2).astype(np.int32)  # (C, H, W), has escapes
+    C, H, W = sym.shape
+    idx = np.broadcast_to(np.arange(C, dtype=np.int32)[:, None, None], sym.shape)
+    payload = LaneCoder(table).encode(sym, idx)
+
+    tpath = tmp_path / "t.bin"
+    write_tables_file(str(tpath), table)
+    bpath = tmp_path / "y.crb2"
+    with open(bpath, "wb") as f:
+        f.write(b"CRB2" + struct.pack("<i", 3) + struct.pack("<3i", C, H, W))
+        f.write(struct.pack("<I", len(payload)) + payload)
+    opath = tmp_path / "rec.bin"
+    run_codec("decode2", str(tpath), str(bpath), str(opath))
+    np.testing.assert_array_equal(read_tensor_file(str(opath)), sym)
+
+
+def test_v2_cross_decode_cpp_to_jax(latents, table, tmp_path):
+    """v2 streams produced by the standalone C++ encoder are byte-identical
+    to the LaneCoder's and decode through the JAX path."""
+    import struct
+
+    from cra5_tpu.coder.rans_tpu import LaneCoder
+
+    sym = np.round(latents[1] * 2).astype(np.int32)
+    C, H, W = sym.shape
+    idx = np.broadcast_to(np.arange(C, dtype=np.int32)[:, None, None], sym.shape)
+
+    tpath, xpath, bpath = tmp_path / "t.bin", tmp_path / "x.bin", tmp_path / "y.crb2"
+    write_tables_file(str(tpath), table)
+    write_tensor_file(str(xpath), sym)
+    run_codec("encode2", str(tpath), str(xpath), str(bpath))
+
+    blob = open(bpath, "rb").read()
+    ndim = struct.unpack_from("<i", blob, 4)[0]
+    off = 8 + 4 * ndim
+    (nbytes,) = struct.unpack_from("<I", blob, off)
+    payload = blob[off + 4 : off + 4 + nbytes]
+
+    coder = LaneCoder(table)
+    assert payload == coder.encode(sym, idx)  # byte-identical container
+    dec = coder.decode(payload, idx)
+    np.testing.assert_array_equal(dec, sym)
