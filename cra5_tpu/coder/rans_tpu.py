@@ -340,6 +340,35 @@ class LaneCoder:
         )
 
     # -- device-resident paths ---------------------------------------------
+    def encode_dispatch_batch(self, symbols, indexes):
+        """Queue ONE vmapped encode for a whole (B, ...) batch and return B
+        handles (views into the batched buffers) for encode_finalize_many.
+        Replaces B sequential ~M-step scans with a single scan vectorized
+        over the batch — the scan step count doesn't grow with B."""
+        B = symbols.shape[0]
+        n = int(np.prod(symbols.shape[1:]))
+        if n == 0:
+            return [None] * B
+        if B == 1:
+            return [self.encode_dispatch(symbols[0], indexes[0])]
+        K = self.num_lanes or default_num_lanes(n)
+        M = -(-n // K)
+        magic_m, magic_s = self._magic_tables()
+
+        def one(s, i):
+            return _encode_device(
+                s, i, self._cdf_flat, self._offsets, self._max_values,
+                magic_m, magic_s, self._max_len, M, K,
+            )
+
+        x_final, stream_buf, esc_buf, n_words, n_esc = jax.vmap(one)(
+            symbols.reshape(B, -1), indexes.reshape(B, -1)
+        )
+        return [
+            (n, K, M, x_final[b], stream_buf[b], esc_buf[b], n_words[b], n_esc[b])
+            for b in range(B)
+        ]
+
     def encode_dispatch(self, symbols, indexes):
         """Queue the on-device encode (prep + scan + compaction) and return
         an opaque handle; nothing crosses to the host yet. Pair with
@@ -401,6 +430,51 @@ class LaneCoder:
         to power-of-two lengths so transfer shapes stay cached) and two
         scalar counts cross to the host."""
         return self.encode_finalize_many([self.encode_dispatch(symbols, indexes)])[0]
+
+    def decode_batch_to_device(self, datas, indexes) -> jax.Array:
+        """Decode B same-shaped v2 streams with ONE vmapped scan; indexes is
+        (B, ...) device-resident. Counterpart of encode_dispatch_batch."""
+        B = len(datas)
+        if B == 1:
+            return self.decode_to_device(_unwrap_bytes(datas[0]), indexes[0])[None]
+        headers = [struct.unpack_from("<IIIII", _unwrap_bytes(d), 0) for d in datas]
+        n = int(np.prod(indexes.shape[1:]))
+        for magic, hn, K, n_esc, n_words in headers:
+            if magic != MAGIC:
+                raise ValueError("not a CRX2 (format v2) stream")
+            if hn != n:
+                raise ValueError(f"symbol count mismatch: stream {hn}, indexes {n}")
+        K = headers[0][2]
+        if any(h[2] != K for h in headers):
+            # mixed lane counts (foreign producer): fall back to per-item
+            return jnp.stack(
+                [self.decode_to_device(_unwrap_bytes(d), indexes[i])
+                 for i, d in enumerate(datas)]
+            )
+        W = _bucket(max(max(h[4] for h in headers), 1))
+        E = _bucket(max(max(h[3] for h in headers), 1))
+        states = np.zeros((B, K), np.uint32)
+        stream = np.zeros((B, W), np.uint16)
+        escs = np.zeros((B, E), np.int32)
+        for b, (d, (_, _, _, n_esc, n_words)) in enumerate(zip(datas, headers)):
+            d = _unwrap_bytes(d)
+            off = 20
+            states[b] = np.frombuffer(d, "<u4", K, off); off += 4 * K
+            stream[b, :n_words] = np.frombuffer(d, "<u2", n_words, off)
+            off += 2 * n_words
+            escs[b, :n_esc] = _zigzag_varint_decode(d[off:], n_esc)
+        M = -(-n // K)
+        has_esc = any(h[3] > 0 for h in headers)
+
+        def one(idx, st, sw, ev):
+            return _decode_device(
+                idx, st, sw, ev, self._cdf_flat, self._decode_lut(),
+                self._max_values, self._offsets, self._max_len, M, K, has_esc,
+            )
+
+        return jax.vmap(one)(
+            indexes, jnp.asarray(states), jnp.asarray(stream), jnp.asarray(escs)
+        )
 
     def decode_to_device(self, data: bytes, indexes) -> jax.Array:
         """Decode a v2 stream against device-resident indexes; the decoded
@@ -482,6 +556,13 @@ class LaneCoder:
         if n_esc:
             out[sent] = esc_val
         return out.reshape(indexes_arr.shape)
+
+
+def _unwrap_bytes(s):
+    """Accept both `bytes` and the reference's `[bytes]` nesting."""
+    if isinstance(s, (list, tuple)):
+        return s[0]
+    return s
 
 
 def lane_encode(symbols, indexes, table: CdfTable, num_lanes: int | None = None) -> bytes:

@@ -154,10 +154,9 @@ class ImageCodec(_CodecBase):
         if self.kind == "factorized":
             if self.coder == "v2":
                 idx = self._channel_indexes_dev(out["y_sym"].shape)
-                y_strings = self._eb_coder.encode_finalize_many([
-                    self._eb_coder.encode_dispatch(out["y_sym"][i], idx[i])
-                    for i in range(out["y_sym"].shape[0])
-                ])
+                y_strings = self._eb_coder.encode_finalize_many(
+                    self._eb_coder.encode_dispatch_batch(out["y_sym"], idx)
+                )
             else:
                 y_sym = np.asarray(out["y_sym"])
                 idx = self._channel_indexes(y_sym.shape)
@@ -176,13 +175,9 @@ class ImageCodec(_CodecBase):
             gc_idx = self._gc_index(out["scales"])
             z_idx = self._channel_indexes_dev(out["z_sym"].shape)
             B = out["z_sym"].shape[0]
-            handles = [
-                self._eb_coder.encode_dispatch(out["z_sym"][i], z_idx[i])
-                for i in range(B)
-            ] + [
-                self._gc_coder.encode_dispatch(out["y_sym"][i], gc_idx[i])
-                for i in range(out["y_sym"].shape[0])
-            ]
+            handles = self._eb_coder.encode_dispatch_batch(
+                out["z_sym"], z_idx
+            ) + self._gc_coder.encode_dispatch_batch(out["y_sym"], gc_idx)
             streams = self._eb_coder.encode_finalize_many(handles)
             return {
                 "strings": [streams[B:], streams[:B]],
@@ -218,12 +213,7 @@ class ImageCodec(_CodecBase):
             full = (B, C, int(shape[0]), int(shape[1]))
             if self.coder == "v2":
                 idx = self._channel_indexes_dev(full)
-                y_sym = jnp.stack(
-                    [
-                        self._eb_coder.decode_to_device(_unwrap(y_strings[i]), idx[i])
-                        for i in range(B)
-                    ]
-                )
+                y_sym = self._eb_coder.decode_batch_to_device(list(y_strings), idx)
             else:
                 idx = self._channel_indexes(full)
                 y_sym = jnp.asarray(
@@ -245,20 +235,10 @@ class ImageCodec(_CodecBase):
         full_z = (B, C, int(shape[0]), int(shape[1]))
         if self.coder == "v2":
             z_idx = self._channel_indexes_dev(full_z)
-            z_sym = jnp.stack(
-                [
-                    self._eb_coder.decode_to_device(_unwrap(z_strings[i]), z_idx[i])
-                    for i in range(B)
-                ]
-            )
+            z_sym = self._eb_coder.decode_batch_to_device(list(z_strings), z_idx)
             scales, means = self._hyper_from_z(self.variables, z_sym)
             gc_idx = self._gc_index(scales)
-            y_sym = jnp.stack(
-                [
-                    self._gc_coder.decode_to_device(_unwrap(y_strings[i]), gc_idx[i])
-                    for i in range(B)
-                ]
-            )
+            y_sym = self._gc_coder.decode_batch_to_device(list(y_strings), gc_idx)
         else:
             z_idx = self._channel_indexes(full_z)
             z_sym = jnp.asarray(

@@ -464,13 +464,9 @@ class VAEformerCodec:
             z_idx_dev = jnp.broadcast_to(
                 jnp.arange(C, dtype=jnp.int32)[None, :, None, None], z_sym_dev.shape
             )
-            handles = [
-                self._eb_coder.encode_dispatch(z_sym_dev[i], z_idx_dev[i])
-                for i in range(B)
-            ] + [
-                self._gc_coder.encode_dispatch(out["y_sym"][i], gc_idx_dev[i])
-                for i in range(out["y_sym"].shape[0])
-            ]
+            handles = self._eb_coder.encode_dispatch_batch(
+                z_sym_dev, z_idx_dev
+            ) + self._gc_coder.encode_dispatch_batch(out["y_sym"], gc_idx_dev)
             streams = self._eb_coder.encode_finalize_many(handles)
             z_strings, y_strings = streams[:B], streams[B:]
             zs = tuple(int(s) for s in out["z_shape"])
@@ -507,24 +503,15 @@ class VAEformerCodec:
 
         if self.coder == "v2":
             # device-resident decode: decoded symbols feed the hyper/
-            # synthesis transforms without touching the host
+            # synthesis transforms without touching the host; one vmapped
+            # scan covers the whole batch per stream kind
             z_idx_dev = jnp.broadcast_to(
                 jnp.arange(C, dtype=jnp.int32)[None, :, None, None], full_z_shape
             )
-            z_sym = jnp.stack(
-                [
-                    self._eb_coder.decode_to_device(_unwrap(z_strings[i]), z_idx_dev[i])
-                    for i in range(B)
-                ]
-            )
+            z_sym = self._eb_coder.decode_batch_to_device(list(z_strings), z_idx_dev)
             hz = self._scales_from_z(self.variables, z_sym, self._scale_table_dev)
             means, gc_idx = hz["means"], hz["gc_idx"]
-            y_sym = jnp.stack(
-                [
-                    self._gc_coder.decode_to_device(_unwrap(y_strings[i]), gc_idx[i])
-                    for i in range(B)
-                ]
-            )
+            y_sym = self._gc_coder.decode_batch_to_device(list(y_strings), gc_idx)
         else:
             z_idx = self._z_indexes(full_z_shape)
             z_sym = jnp.asarray(

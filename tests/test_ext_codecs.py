@@ -371,3 +371,35 @@ def test_downloader_without_cdsapi(monkeypatch, tmp_path):
     dl = era5_downloader()  # construction must not need cdsapi
     with pytest.raises(RuntimeError, match="cdsapi"):
         dl.save("2024-06-01T00:00:00", str(tmp_path))
+
+
+def test_find_close_external_bpg_mock(tmp_path, gradient_image, capsys):
+    """find_close bisects an external codec's QP range (mocked bpg whose
+    output size shrinks as -q grows, like a real QP)."""
+    from cra5_tpu.tools import find_close
+
+    enc = _write_mock(
+        tmp_path / "bpgenc",
+        _flag_value("-o")
+        + "q = int(args[args.index('-q') + 1])\n"
+        + "data = open(args[-1], 'rb').read()\n"
+        + "keep = max(64, len(data) * (52 - q) // 52)\n"
+        + "open(val, 'wb').write(data[:keep])\n",
+    )
+    dec = _write_mock(
+        tmp_path / "bpgdec",
+        # decode ignores the truncated payload; emit a fixed-size png
+        _flag_value("-o")
+        + "from PIL import Image\nimport numpy as np\n"
+        + "Image.fromarray(np.zeros((48, 48, 3), np.uint8)).save(val)\n",
+    )
+    rc = find_close.main(
+        ["bpg", str(gradient_image), "0.5", "--metric", "bpp",
+         "--encoder-path", enc, "--decoder-path", dec]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "bpg quality=" in out
+
+    rc = find_close.main(["bpg", str(gradient_image), "0.5", "--metric", "bpp"])
+    assert rc == 2  # gated when binaries absent

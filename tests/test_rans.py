@@ -244,3 +244,37 @@ def test_device_path_shapes_and_no_escape(rng):
     out = coder.decode_to_device(data, jnp.asarray(idx2))
     assert out.shape == (4, 32, 32)
     np.testing.assert_array_equal(np.asarray(out), sym2)
+
+
+def test_batched_encode_decode_matches_sequential(rng):
+    """encode_dispatch_batch/decode_batch_to_device: one vmapped scan per
+    batch must produce byte-identical streams and identical symbols vs the
+    per-item paths."""
+    import jax.numpy as jnp
+
+    from cra5_tpu.coder.rans_tpu import LaneCoder
+
+    table = make_table(rng, ncdfs=3, max_bins=8)
+    coder = LaneCoder(table)
+    B, C, H, W = 4, 3, 8, 16
+    sym = rng.integers(-20, 20, size=(B, C, H, W)).astype(np.int32)
+    idx = np.broadcast_to(
+        np.arange(C, dtype=np.int32)[None, :, None, None], sym.shape
+    ).copy()
+    sym_d, idx_d = jnp.asarray(sym), jnp.asarray(idx)
+
+    batched = coder.encode_finalize_many(coder.encode_dispatch_batch(sym_d, idx_d))
+    sequential = [coder.encode_from_device(sym_d[b], idx_d[b]) for b in range(B)]
+    assert batched == sequential
+
+    dec = np.asarray(coder.decode_batch_to_device(batched, idx_d))
+    np.testing.assert_array_equal(dec, sym)
+
+    # mixed escape counts across the batch (incl. an all-in-range item)
+    sym2 = sym.copy()
+    sym2[0] = np.clip(sym2[0], -1, 1)
+    sym2[1, 0, 0, 0] = 100000
+    sym2_d = jnp.asarray(sym2)
+    batched2 = coder.encode_finalize_many(coder.encode_dispatch_batch(sym2_d, idx_d))
+    dec2 = np.asarray(coder.decode_batch_to_device(batched2, idx_d))
+    np.testing.assert_array_equal(dec2, sym2)
