@@ -35,7 +35,7 @@ def test_checkerboard_pack_unpack_roundtrip():
 def tiny_elic():
     # groups [0, 16, 16, 32] with M = 64, 3 slices
     model = ELIC2022(N=32, M=64, num_slices=3, in_channel=3)
-    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 128, 128))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 64, 64))
     variables = model.init(jax.random.PRNGKey(1), x)
     return model, variables, x
 
@@ -73,7 +73,7 @@ def test_elic_roundtrip(tiny_elic):
 def test_elic_roundtrip_batch(tiny_elic):
     model, variables, _ = tiny_elic
     codec = ElicCodec(model, variables)
-    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 3, 128, 128))
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 3, 64, 64))
     out = codec.compress(x)
     assert len(out["strings"][0]) == 2 * model.num_slices * 2  # passes x B
     dec = codec.decompress(out["strings"], out["shape"], out["y_shape"])

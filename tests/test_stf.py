@@ -42,7 +42,7 @@ def tiny_stf():
         embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 2),
         window_size=4, num_slices=4,
     )
-    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 128, 128))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 64, 64))
     variables = model.init(jax.random.PRNGKey(1), x)
     return model, variables, x
 
@@ -79,7 +79,7 @@ def test_stf_roundtrip_batch(tiny_stf):
 
     model, variables, _ = tiny_stf
     codec = CharmCodec(model, variables)
-    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 3, 128, 128))
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 3, 64, 64))
     out = codec.compress(x)
     assert len(out["strings"][0]) == model.num_slices * 2
     dec = codec.decompress(out["strings"], out["shape"])

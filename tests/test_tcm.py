@@ -31,7 +31,7 @@ def tiny_tcm():
         config=(1, 1, 1, 1, 1, 1), head_dim=(4, 4, 4, 4, 4, 4),
         N=8, M=20, num_slices=4, max_support_slices=2, in_channel=3,
     )
-    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 128, 128))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 64, 64))
     variables = model.init(jax.random.PRNGKey(1), x)
     return model, variables, x
 
