@@ -1,6 +1,8 @@
 """Data layer: ERA5 npy/nc loaders, image/video datasets, prefetch,
 color transforms (roundtrip properties)."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -326,3 +328,48 @@ def test_eval_dataset_normalizes_predictions(eval_roots):
     # gt step 1 channel 0: (100 - 50) / 10; pred step 0: (100000 - 50) / 10
     np.testing.assert_allclose(item["gt_label"][0, 0, 0, 0], 5.0)
     np.testing.assert_allclose(item["pred_label"][0, 0, 0, 0], 9995.0)
+
+
+def test_forecast_eval_tool(eval_roots, tmp_path, capsys):
+    """forecast_eval over the hres-mode dataset: the constant mock run
+    scores huge WRMSE; a perfect run (gt copied into the step layout)
+    scores ~0 WRMSE and ACC ~1."""
+    from cra5_tpu.data import ERA5EvalDataset
+    from cra5_tpu.tools import forecast_eval
+
+    archive, preds, clim = eval_roots
+    common = [
+        str(archive), "--mode", "hres", "--climate-root", str(clim),
+        "--years", "1979-01-01T00:00:00", "1979-01-02T00:00:00",
+        "--time-interval", "6", "--gt-offsets", "6", "12",
+        "--vnames", "z,t", "--levels", "50,100", "--singles", "t2m",
+    ]
+    rc = forecast_eval.main(common + ["--pred-root", str(preds),
+                                      "-o", str(tmp_path / "r.json")])
+    assert rc == 0
+    report = json.loads((tmp_path / "r.json").read_text())
+    assert report["lead_hours"] == [6, 12]
+    assert report["channels"] == ["z50", "z100", "t50", "t100", "t2m"]
+    assert report["n_init_times"] == 3
+    # mock forecasts are constant ~100k fields vs gt ~100*k: enormous error
+    assert min(report["wrmse"]["6"]) > 1000
+    assert set(report["acc"]) == {"6", "12"}
+
+    # perfect forecast: hres mode reads step00/step01 for offsets 6h/12h
+    perfect = tmp_path / "perfect"
+    kw = dict(_EVAL_KW, years=("1979-01-01T00:00:00", "1979-01-02T00:00:00"))
+    ds = ERA5EvalDataset(str(archive), test_mode="default", **kw)
+    for i in range(len(ds)):
+        item = ds[i]
+        init = str(item["in_time_stamp"][0]).replace(" ", "T")
+        ERA5EvalDataset.save_prediction_run(
+            str(perfect), init, [item["gt_label"][0], item["gt_label"][1]]
+        )
+    capsys.readouterr()
+    rc = forecast_eval.main(common + ["--pred-root", str(perfect)])
+    assert rc == 0
+    perfect_report = json.loads(capsys.readouterr().out)
+    assert max(perfect_report["wrmse"]["6"]) < 1e-4
+    assert max(perfect_report["wrmse"]["12"]) < 1e-4
+    for v in perfect_report["acc"]["6"]:
+        assert abs(v - 1.0) < 1e-3
