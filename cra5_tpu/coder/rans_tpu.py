@@ -252,14 +252,21 @@ def _encode_device(symbols_any, indexes_any, cdf_flat, offsets, max_values,
 
 
 def _bucket(n: int) -> int:
-    """Next power of two (caps the number of distinct transfer shapes)."""
-    k = 1
-    while k < n:
+    """Round up to 1/8-octave granularity (power of two divided into 8
+    steps): keeps the set of distinct transfer/jit shapes small (~8 per
+    octave) while capping transfer overshoot at 12.5% — plain next-pow2
+    wasted up to 2x the D2H bytes, which is real time on slow links."""
+    if n <= 8:
+        return max(n, 1)
+    k = 8
+    while k * 2 < n:
         k *= 2
-    return k
+    # n is in (k, 2k]; quantize to k/8 so overshoot <= 12.5% of n
+    step = k // 8
+    return ((n + step - 1) // step) * step
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=256)
 def _slicer(size: int):
     return jax.jit(lambda a: jax.lax.slice(a, (0,), (size,)))
 
