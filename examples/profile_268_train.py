@@ -19,8 +19,11 @@ Run on the real chip (slow first compile):
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 
 def main(argv=None):
@@ -59,14 +62,17 @@ def main(argv=None):
 
         t0 = time.time()
         state, metrics = trainer._step_fn(state, x, jax.random.PRNGKey(1))
-        jax.block_until_ready(state.params)
+        float(metrics["loss"])
         compile_s = time.time() - t0
 
         times = []
         for i in range(args.steps):
             t0 = time.time()
             state, metrics = trainer._step_fn(state, x, jax.random.PRNGKey(2 + i))
-            jax.block_until_ready(state.params)
+            # fetch a metric VALUE: on the tunneled backend,
+            # block_until_ready on donated outputs returns early and
+            # reports ~100x-too-fast steps; a device_get cannot lie
+            float(metrics["loss"])
             times.append(time.time() - t0)
         results[mode] = {
             "step_s": sorted(times)[len(times) // 2],
