@@ -48,7 +48,12 @@ def build_indexes(scales: jax.Array, scale_table: jax.Array, scale_bound: float 
     (excluding the last) strictly below the bounded scale. Equivalent to the
     reference bucketing loop (entropy_models.py:679-685)."""
     scales = lower_bound(scales, scale_bound)
-    return jnp.searchsorted(scale_table[:-1], scales, side="left").astype(jnp.int32)
+    # compare_all: the table is ~64 entries and scales are millions — the
+    # broadcast-compare-sum lowers to one fused VPU reduce, while the default
+    # 'scan' method is a lax.while that costs >100ms per call on TPU
+    return jnp.searchsorted(
+        scale_table[:-1], scales, side="left", method="compare_all"
+    ).astype(jnp.int32)
 
 
 class GaussianConditional(nn.Module):

@@ -40,9 +40,42 @@ class PatchEmbed(nn.Module):
         return y.reshape(B, Hp * Wp, D), (Hp, Wp)
 
 
+class _ConvTransposeParams(nn.Module):
+    """Kernel/bias with the exact names, shapes, and inits of flax
+    ``nn.ConvTranspose`` so both PatchUnembed compute paths share one
+    param tree (checkpoints and the torch converter stay valid)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    in_features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        shape = (*self.kernel_size, self.in_features, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), shape)
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class PatchUnembed(nn.Module):
     """ConvTranspose inverse of PatchEmbed (no bias, parity with the
-    reference's final layer)."""
+    reference's final layer).
+
+    XLA lowers the strided conv_transpose itself to a pathological
+    convolution_select fusion (~0.19 s of the 268v decode, ~3 TFLOP/s), so
+    for the patch geometries actually used — kw == sw and kh in
+    {sh, sh+1}, i.e. columns tile exactly and rows overlap by at most
+    one — the same map is computed as one big MXU einsum producing
+    per-token (kh, kw) output patches followed by a slice/concat
+    overlap-add. Numerics match flax ``nn.ConvTranspose``
+    (transpose_kernel=False ⇒ the kernel is applied spatially flipped);
+    equivalence is locked by tests/test_convert.py::test_unpatchify_parity
+    and tests/test_nn.py."""
 
     out_chans: int
     patch_size: Tuple[int, int]
@@ -55,14 +88,47 @@ class PatchUnembed(nn.Module):
         """x: (B, N, D) tokens on ``grid`` -> (B, out_chans, H, W)."""
         B, N, D = x.shape
         Hp, Wp = grid
-        y = x.reshape(B, Hp, Wp, D)
-        y = nn.ConvTranspose(
-            self.out_chans,
-            kernel_size=self.patch_size,
-            strides=self.patch_stride,
-            padding="VALID",
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="final",
-        )(y)
-        return y.transpose(0, 3, 1, 2)  # NCHW
+        kh, kw = self.patch_size
+        sh, sw = self.patch_stride
+        C = self.out_chans
+        kernel, bias = _ConvTransposeParams(
+            C, self.patch_size, D, self.use_bias, name="final"
+        )()
+        y = x.reshape(B, Hp, Wp, D).astype(self.dtype)
+        k = kernel.astype(self.dtype)
+
+        if kw == sw and kh in (sh, sh + 1):
+            kf = k[::-1, ::-1]  # conv_transpose applies the kernel flipped
+            patches = jnp.einsum("bhwd,ijdc->bhiwjc", y, kf)
+            if kh == sh + 1:
+                # row kh-1 of patch h lands on row 0 of patch h+1 (or the
+                # final output row for the last patch): 721 = 71*10 + 11
+                main = patches[:, :, :sh]
+                extra = patches[:, :, sh]  # (B, Hp, Wp, kw, C)
+                shifted = jnp.pad(
+                    extra[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
+                )
+                first = main[:, :, 0] + shifted
+                main = jnp.concatenate(
+                    [first[:, :, None], main[:, :, 1:]], axis=2
+                )
+                out = jnp.concatenate(
+                    [
+                        main.reshape(B, Hp * sh, Wp * kw, C),
+                        extra[:, -1:].reshape(B, kh - sh, Wp * kw, C),
+                    ],
+                    axis=1,
+                )
+            else:
+                out = patches.reshape(B, Hp * kh, Wp * kw, C)
+        else:
+            out = jax.lax.conv_transpose(
+                y,
+                k,
+                strides=self.patch_stride,
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if bias is not None:
+            out = out + bias.astype(self.dtype)
+        return out.transpose(0, 3, 1, 2)  # NCHW
