@@ -443,14 +443,17 @@ class LaneCoder:
         scalar counts cross to the host."""
         return self.encode_finalize_many([self.encode_dispatch(symbols, indexes)])[0]
 
-    def decode_batch_to_device(self, datas, indexes) -> jax.Array:
-        """Decode B same-shaped v2 streams with ONE vmapped scan; indexes is
-        (B, ...) device-resident. Counterpart of encode_dispatch_batch."""
+    def upload_batch(self, datas, n: int | None = None):
+        """Parse B same-shaped v2 containers and issue their H2D transfers
+        NOW, before the caller's indexes exist. Returns an opaque handle
+        for ``decode_uploaded_batch``. Splitting upload from scan lets a
+        decoder overlay this stream's transfer with whatever compute
+        produces its indexes (e.g. the y-stream uploads during the z-scan
+        and hyper-synthesis phases)."""
         B = len(datas)
-        if B == 1:
-            return self.decode_to_device(_unwrap_bytes(datas[0]), indexes[0])[None]
         headers = [struct.unpack_from("<IIIII", _unwrap_bytes(d), 0) for d in datas]
-        n = int(np.prod(indexes.shape[1:]))
+        if n is None:
+            n = headers[0][1]
         for magic, hn, K, n_esc, n_words in headers:
             if magic != MAGIC:
                 raise ValueError("not a CRX2 (format v2) stream")
@@ -458,11 +461,7 @@ class LaneCoder:
                 raise ValueError(f"symbol count mismatch: stream {hn}, indexes {n}")
         K = headers[0][2]
         if any(h[2] != K for h in headers):
-            # mixed lane counts (foreign producer): fall back to per-item
-            return jnp.stack(
-                [self.decode_to_device(_unwrap_bytes(d), indexes[i])
-                 for i, d in enumerate(datas)]
-            )
+            return ("mixed", datas)  # foreign producer: per-item fallback
         W = _bucket(max(max(h[4] for h in headers), 1))
         E = _bucket(max(max(h[3] for h in headers), 1))
         states = np.zeros((B, K), np.uint32)
@@ -475,8 +474,26 @@ class LaneCoder:
             stream[b, :n_words] = np.frombuffer(d, "<u2", n_words, off)
             off += 2 * n_words
             escs[b, :n_esc] = _zigzag_varint_decode(d[off:], n_esc)
-        M = -(-n // K)
         has_esc = any(h[3] > 0 for h in headers)
+        return (
+            "v2", n, K, has_esc,
+            jnp.asarray(states), jnp.asarray(stream), jnp.asarray(escs),
+        )
+
+    def decode_uploaded_batch(self, handle, indexes) -> jax.Array:
+        """Run the vmapped decode scan against device buffers from
+        ``upload_batch``; indexes is (B, ...) device-resident."""
+        if handle[0] == "mixed":
+            return jnp.stack(
+                [self.decode_to_device(_unwrap_bytes(d), indexes[i])
+                 for i, d in enumerate(handle[1])]
+            )
+        _, n, K, has_esc, states, stream, escs = handle
+        if int(np.prod(indexes.shape[1:])) != n:
+            raise ValueError(
+                f"symbol count mismatch: stream {n}, indexes {indexes.shape[1:]}"
+            )
+        M = -(-n // K)
 
         def one(idx, st, sw, ev):
             return _decode_device(
@@ -484,9 +501,18 @@ class LaneCoder:
                 self._max_values, self._offsets, self._max_len, M, K, has_esc,
             )
 
-        return jax.vmap(one)(
-            indexes, jnp.asarray(states), jnp.asarray(stream), jnp.asarray(escs)
-        )
+        if len(states) == 1:  # reuse the single-sample compiled path
+            return one(indexes[0], states[0], stream[0], escs[0])[None]
+        return jax.vmap(one)(indexes, states, stream, escs)
+
+    def decode_batch_to_device(self, datas, indexes) -> jax.Array:
+        """Decode B same-shaped v2 streams with ONE vmapped scan; indexes is
+        (B, ...) device-resident. Counterpart of encode_dispatch_batch."""
+        B = len(datas)
+        if B == 1:
+            return self.decode_to_device(_unwrap_bytes(datas[0]), indexes[0])[None]
+        n = int(np.prod(indexes.shape[1:]))
+        return self.decode_uploaded_batch(self.upload_batch(datas, n), indexes)
 
     def decode_to_device(self, data: bytes, indexes) -> jax.Array:
         """Decode a v2 stream against device-resident indexes; the decoded

@@ -234,11 +234,14 @@ class ImageCodec(_CodecBase):
         C = self.model.N
         full_z = (B, C, int(shape[0]), int(shape[1]))
         if self.coder == "v2":
+            # issue the y-stream H2D before the z-scan/hyper compute (its
+            # indexes don't exist yet, but its bytes do — see upload_batch)
+            y_up = self._gc_coder.upload_batch(list(y_strings))
             z_idx = self._channel_indexes_dev(full_z)
             z_sym = self._eb_coder.decode_batch_to_device(list(z_strings), z_idx)
             scales, means = self._hyper_from_z(self.variables, z_sym)
             gc_idx = self._gc_index(scales)
-            y_sym = self._gc_coder.decode_batch_to_device(list(y_strings), gc_idx)
+            y_sym = self._gc_coder.decode_uploaded_batch(y_up, gc_idx)
         else:
             z_idx = self._channel_indexes(full_z)
             z_sym = jnp.asarray(

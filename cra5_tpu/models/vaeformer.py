@@ -504,14 +504,20 @@ class VAEformerCodec:
         if self.coder == "v2":
             # device-resident decode: decoded symbols feed the hyper/
             # synthesis transforms without touching the host; one vmapped
-            # scan covers the whole batch per stream kind
+            # scan covers the whole batch per stream kind. The y stream's
+            # H2D is issued FIRST so its transfer rides under the z-scan
+            # and hyper-synthesis compute (its indexes don't exist yet,
+            # but its bytes do).
+            g = self.model.cfg.latent_grid
+            n_y = B * self.model.cfg.embed_dim * g[0] * g[1]
+            y_up = self._gc_coder.upload_batch(list(y_strings), n_y // B)
             z_idx_dev = jnp.broadcast_to(
                 jnp.arange(C, dtype=jnp.int32)[None, :, None, None], full_z_shape
             )
             z_sym = self._eb_coder.decode_batch_to_device(list(z_strings), z_idx_dev)
             hz = self._scales_from_z(self.variables, z_sym, self._scale_table_dev)
             means, gc_idx = hz["means"], hz["gc_idx"]
-            y_sym = self._gc_coder.decode_batch_to_device(list(y_strings), gc_idx)
+            y_sym = self._gc_coder.decode_uploaded_batch(y_up, gc_idx)
         else:
             z_idx = self._z_indexes(full_z_shape)
             z_sym = jnp.asarray(
