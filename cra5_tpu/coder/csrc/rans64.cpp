@@ -335,4 +335,45 @@ int pmf_to_quantized_cdf_c(const float *pmf, size_t n, int precision,
   return 0;
 }
 
+// Zigzag-LEB128 varints for the v2 escape side channel (byte-identical to
+// the numpy implementation in coder/rans_tpu.py, which remains the oracle).
+// The vectorized numpy path still costs ~95 ms per 700k escapes and holds
+// the GIL; this loop is ~2 ms and runs GIL-free under ctypes.
+long long zz_varint_encode(const int32_t *vals, size_t n, uint8_t *out,
+                           size_t cap) {
+  size_t pos = 0;
+  for (size_t i = 0; i < n; ++i) {
+    int64_t v = vals[i];
+    uint64_t u = v >= 0 ? (static_cast<uint64_t>(v) << 1)
+                        : ((static_cast<uint64_t>(-(v + 1)) << 1) | 1u);
+    do {
+      if (pos >= cap) return -1;
+      uint8_t b = static_cast<uint8_t>(u & 0x7f);
+      u >>= 7;
+      out[pos++] = b | (u ? 0x80 : 0);
+    } while (u);
+  }
+  return static_cast<long long>(pos);
+}
+
+// Returns bytes consumed, or -1 on a truncated stream.
+long long zz_varint_decode(const uint8_t *data, size_t len, size_t n,
+                           int32_t *out) {
+  size_t pos = 0;
+  for (size_t i = 0; i < n; ++i) {
+    uint64_t u = 0;
+    int shift = 0;
+    uint8_t b;
+    do {
+      if (pos >= len || shift > 63) return -1;
+      b = data[pos++];
+      u |= static_cast<uint64_t>(b & 0x7f) << shift;
+      shift += 7;
+    } while (b & 0x80);
+    out[i] = (u & 1) ? static_cast<int32_t>(-static_cast<int64_t>(u >> 1) - 1)
+                     : static_cast<int32_t>(u >> 1);
+  }
+  return static_cast<long long>(pos);
+}
+
 }  // extern "C"

@@ -83,6 +83,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pmf_to_quantized_cdf_c.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_size_t, ctypes.c_int, c_i32p,
         ]
+        lib.zz_varint_encode.restype = ctypes.c_longlong
+        lib.zz_varint_encode.argtypes = [
+            c_i32p, ctypes.c_size_t, c_u8p, ctypes.c_size_t,
+        ]
+        lib.zz_varint_decode.restype = ctypes.c_longlong
+        lib.zz_varint_decode.argtypes = [
+            c_u8p, ctypes.c_size_t, ctypes.c_size_t, c_i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -227,4 +235,36 @@ def pmf_to_quantized_cdf_native(pmf: Sequence[float], precision: int = 16) -> np
     )
     if rc != 0:
         raise ValueError("invalid pmf")
+    return out
+
+
+def zigzag_varint_encode(values: np.ndarray) -> Optional[bytes]:
+    """GIL-free varint encode of the v2 escape channel; None if the native
+    lib is unavailable (caller falls back to the numpy oracle)."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals = _as_i32(values)
+    cap = 5 * vals.size + 8
+    out = np.empty(cap, dtype=np.uint8)
+    nbytes = lib.zz_varint_encode(
+        _ptr(vals, ctypes.c_int32), vals.size, _ptr(out, ctypes.c_uint8), cap
+    )
+    if nbytes < 0:
+        raise RuntimeError("zz_varint_encode: output buffer overflow")
+    return out[:nbytes].tobytes()
+
+
+def zigzag_varint_decode(data: bytes, count: int) -> Optional[np.ndarray]:
+    """GIL-free varint decode; None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(count, dtype=np.int32)
+    consumed = lib.zz_varint_decode(
+        _ptr(buf, ctypes.c_uint8), buf.size, count, _ptr(out, ctypes.c_int32)
+    )
+    if consumed < 0:
+        raise ValueError("truncated escape side channel")
     return out

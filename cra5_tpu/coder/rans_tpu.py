@@ -52,10 +52,16 @@ def _padded_search_table(table: CdfTable) -> np.ndarray:
 
 def _zigzag_varint_encode(values: np.ndarray) -> bytes:
     """LEB128 varints of zigzag-mapped int32s (escape side channel).
-    Fully vectorized: untrained/low-quality models can escape millions of
-    symbols and a Python loop here dominates the roundtrip."""
+    Prefers the GIL-free C implementation (coder/csrc/rans64.cpp —
+    ~50x faster and it lets pipelined roundtrip threads overlap); this
+    vectorized numpy version is the oracle and the no-compiler fallback."""
     if values.size == 0:
         return b""
+    from . import native
+
+    enc = native.zigzag_varint_encode(values)
+    if enc is not None:
+        return enc
     v = values.astype(np.int64)
     u = np.where(v >= 0, v << 1, ((-v - 1) << 1) | 1).astype(np.uint64)
     nbytes = np.ones(u.shape, np.int64)
@@ -77,6 +83,11 @@ def _zigzag_varint_encode(values: np.ndarray) -> bytes:
 def _zigzag_varint_decode(data: bytes, count: int) -> np.ndarray:
     if count == 0:
         return np.zeros(0, np.int32)
+    from . import native
+
+    dec = native.zigzag_varint_decode(data, count)
+    if dec is not None:
+        return dec
     b = np.frombuffer(data, np.uint8)
     ends = np.flatnonzero((b & 0x80) == 0)
     if ends.size < count:
@@ -167,7 +178,11 @@ def _encode_scan(bins, starts, freqs, magic_m, magic_s, num_steps):
     # encode walks steps in reverse (LIFO); scan with reverse=True keeps the
     # outputs indexed by step t.
     xs = (starts, freqs, magic_m, magic_s)
-    x_final, (emit, words) = jax.lax.scan(step, x0, xs, length=num_steps, reverse=True)
+    # unroll=2: ~8% off the while-loop overhead (measured; deeper unrolls
+    # don't help — the per-step vector work, not loop overhead, dominates)
+    x_final, (emit, words) = jax.lax.scan(
+        step, x0, xs, length=num_steps, reverse=True, unroll=2
+    )
     return x_final, emit, words
 
 
@@ -204,7 +219,9 @@ def _decode_scan(indexes, states, stream, cdf_flat, sym_lut, max_values,
         return (x, ptr), (value, sentinel)
 
     init = (states, jnp.int32(0))
-    (_, _), (values, sentinel) = jax.lax.scan(step, init, indexes, length=num_steps)
+    (_, _), (values, sentinel) = jax.lax.scan(
+        step, init, indexes, length=num_steps, unroll=2
+    )
     return values, sentinel
 
 
@@ -482,6 +499,12 @@ class LaneCoder:
             off += 2 * n_words
             escs[b, :n_esc] = _zigzag_varint_decode(d[off:], n_esc)
         has_esc = any(h[3] > 0 for h in headers)
+        if B == 1:  # unbatched buffers: reuses the single-sample compiled
+            # scan and avoids eager device-array slicing at decode time
+            return (
+                "v2x1", n, K, has_esc,
+                jnp.asarray(states[0]), jnp.asarray(stream[0]), jnp.asarray(escs[0]),
+            )
         return (
             "v2", n, K, has_esc,
             jnp.asarray(states), jnp.asarray(stream), jnp.asarray(escs),
@@ -495,7 +518,7 @@ class LaneCoder:
                 [self.decode_to_device(_unwrap_bytes(d), indexes[i])
                  for i, d in enumerate(handle[1])]
             )
-        _, n, K, has_esc, states, stream, escs = handle
+        kind, n, K, has_esc, states, stream, escs = handle
         if int(np.prod(indexes.shape[1:])) != n:
             raise ValueError(
                 f"symbol count mismatch: stream {n}, indexes {indexes.shape[1:]}"
@@ -508,8 +531,8 @@ class LaneCoder:
                 self._max_values, self._offsets, self._max_len, M, K, has_esc,
             )
 
-        if len(states) == 1:  # reuse the single-sample compiled path
-            return one(indexes[0], states[0], stream[0], escs[0])[None]
+        if kind == "v2x1":  # unbatched single-sample path
+            return one(indexes[0], states, stream, escs)[None]
         return jax.vmap(one)(indexes, states, stream, escs)
 
     def decode_batch_to_device(self, datas, indexes) -> jax.Array:

@@ -26,6 +26,7 @@ import numpy as np
 from ..entropy import EntropyBottleneck, GaussianConditional, build_indexes
 from ..entropy.ops import quantize_ste
 from ..nn.conv import AttentionBlock, CheckerboardMaskedConv2d, conv2d, deconv2d
+from .codec import static_shape
 from .google import _ConvStack
 
 
@@ -403,7 +404,7 @@ class ElicCodec:
 
         return {
             "strings": [y_strings, z_strings],
-            "shape": tuple(int(s) for s in out["z_shape"]),
+            "shape": static_shape(out["z_shape"]),
             "y_shape": tuple(int(s) for s in y.shape[-2:]),
         }
 

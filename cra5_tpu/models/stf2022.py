@@ -27,6 +27,7 @@ from ..entropy import EntropyBottleneck, GaussianConditional, build_indexes
 from ..entropy.ops import quantize_ste
 from ..nn.conv import conv2d, subpel_conv3x3
 from ..nn.swin import SwinStage
+from .codec import static_shape
 from .google import _ConvStack
 
 
@@ -369,7 +370,7 @@ class CharmCodec:
             y_hat_slices.append(y_hat_slice)
         return {
             "strings": [y_strings, z_strings],
-            "shape": tuple(int(s) for s in out["z_shape"]),
+            "shape": static_shape(out["z_shape"]),
         }
 
     def decompress(self, strings, shape) -> Dict[str, Any]:

@@ -278,3 +278,35 @@ def test_batched_encode_decode_matches_sequential(rng):
     batched2 = coder.encode_finalize_many(coder.encode_dispatch_batch(sym2_d, idx_d))
     dec2 = np.asarray(coder.decode_batch_to_device(batched2, idx_d))
     np.testing.assert_array_equal(dec2, sym2)
+
+
+def test_native_varint_matches_numpy_oracle():
+    """The C zigzag-varint codec (rans64.cpp) must be byte-identical to the
+    numpy implementation in rans_tpu (the v2 escape-channel format)."""
+    from cra5_tpu.coder import native
+    from cra5_tpu.coder import rans_tpu as rt
+
+    if not native.native_available():
+        pytest.skip("no native lib (compiler unavailable)")
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(-(2**31), 2**31 - 1, 20000).astype(np.int32),
+        np.array([], np.int32),
+        np.array([0, -1, 1, 127, -128, 2**31 - 1, -(2**31)], np.int32),
+    ]
+    for vals in cases:
+        enc_c = native.zigzag_varint_encode(vals)
+        # the module-level helpers prefer native; drive the numpy branch
+        # directly by stubbing availability
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "zigzag_varint_encode", lambda v: None), \
+             mock.patch.object(native, "zigzag_varint_decode", lambda d, c: None):
+            enc_np = rt._zigzag_varint_encode(vals)
+            dec_np = rt._zigzag_varint_decode(enc_c, vals.size)
+        assert enc_c == enc_np
+        np.testing.assert_array_equal(dec_np, vals)
+        np.testing.assert_array_equal(
+            native.zigzag_varint_decode(enc_np, vals.size), vals
+        )
