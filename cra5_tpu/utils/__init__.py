@@ -1,4 +1,4 @@
-from .config import Config, ConfigDict
+from .config import Config, ConfigDict, LazyObject, read_base
 from .registry import Registry
 
-__all__ = ["Config", "ConfigDict", "Registry"]
+__all__ = ["Config", "ConfigDict", "LazyObject", "Registry", "read_base"]

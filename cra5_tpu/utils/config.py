@@ -2,20 +2,31 @@
 
 Capability parity with the reference's vendored mmengine Config
 (/root/reference/cra5/utils/config.py:434 ``fromfile``, :1203 ``_base_``
-inheritance, :634 predefined-var substitution, :693 env-var substitution)
-but re-designed as a small, dependency-free loader: a config is an ordinary
-Python module executed in an isolated namespace; ``_base_`` lists parent
-config files merged recursively (child wins); ``{{fileDirname}}`` and
-``{{$VAR:default}}`` placeholders are substituted in string values.
+inheritance, :634 predefined-var substitution, :693 env-var substitution,
+:986 lazy-import mode) but re-designed as a small, dependency-free loader:
+a config is an ordinary Python module executed in an isolated namespace;
+``_base_`` lists parent config files merged recursively (child wins);
+``{{fileDirname}}`` and ``{{$VAR:default}}`` placeholders are substituted
+in string values.
+
+Lazy-import mode (``fromfile(..., lazy_import=True)``, auto-detected from a
+``with read_base():`` block): ``import``/``from ... import`` statements in
+the config are parsed from the AST into :class:`LazyObject` placeholders
+instead of being executed, so heavy dependencies named in ``type`` fields
+are never imported at config-load time; ``with read_base():`` blocks hold
+``from <module-ish path> import *`` statements that inherit other config
+files by path. ``LazyObject.build()`` performs the real import.
 """
 
 from __future__ import annotations
 
+import ast
 import copy
+import importlib
 import os
 import re
 import types
-from typing import Any, Dict, Iterator, List, Mapping
+from typing import Any, Dict, Iterator, List, Mapping, Optional, Set, Tuple
 
 
 class ConfigDict(dict):
@@ -85,6 +96,145 @@ def _substitute(text: str, filename: str) -> str:
     return text
 
 
+class LazyObject:
+    """Placeholder for a module or attribute named in a lazy-import config:
+    records the dotted path without importing anything (parity surface:
+    reference utils/lazy.py LazyObject/LazyAttr via utils/config.py:986).
+    Attribute access chains lazily; ``build()`` performs the import."""
+
+    def __init__(self, module: str, attr: str = ""):
+        object.__setattr__(self, "module", module)
+        object.__setattr__(self, "attr", attr)
+
+    def __getattr__(self, name: str) -> "LazyObject":
+        if name.startswith("__"):
+            raise AttributeError(name)
+        attr = f"{self.attr}.{name}" if self.attr else name
+        return LazyObject(self.module, attr)
+
+    def build(self) -> Any:
+        obj: Any = importlib.import_module(self.module)
+        if self.attr:
+            for part in self.attr.split("."):
+                obj = getattr(obj, part)
+        return obj
+
+    @property
+    def dotted(self) -> str:
+        return f"{self.module}.{self.attr}" if self.attr else self.module
+
+    def __repr__(self) -> str:
+        return f"LazyObject({self.dotted!r})"
+
+    def __eq__(self, other: Any) -> bool:
+        return isinstance(other, LazyObject) and other.dotted == self.dotted
+
+    def __hash__(self) -> int:
+        return hash(self.dotted)
+
+    def __deepcopy__(self, memo) -> "LazyObject":
+        return LazyObject(self.module, self.attr)
+
+
+def read_base():
+    """Marker context manager for lazy-import configs. The parser handles
+    ``with read_base():`` blocks specially; executing one outside a config
+    file is a no-op."""
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
+def _is_read_base_with(node: ast.stmt) -> bool:
+    if not isinstance(node, ast.With) or len(node.items) != 1:
+        return False
+    expr = node.items[0].context_expr
+    return (
+        isinstance(expr, ast.Call)
+        and isinstance(expr.func, ast.Name)
+        and expr.func.id == "read_base"
+    )
+
+
+def _module_path_to_file(module: str, level: int, base_dir: str) -> str:
+    """Resolve a read_base import target to a config file path: dots in
+    ``level`` walk up from the config's directory, the module parts walk
+    down, the last part is the ``.py`` file."""
+    d = base_dir
+    for _ in range(max(level - 1, 0)):
+        d = os.path.dirname(d)
+    parts = module.split(".") if module else []
+    return os.path.join(d, *parts) + ".py"
+
+
+def _parse_lazy_config(filename: str) -> Tuple[Dict[str, Any], Set[str]]:
+    filename = os.path.abspath(os.path.expanduser(filename))
+    if not os.path.isfile(filename):
+        raise FileNotFoundError(filename)
+    with open(filename, "r") as f:
+        source = _substitute(f.read(), filename)
+    tree = ast.parse(source, filename)
+    base_dir = os.path.dirname(filename)
+
+    ns: Dict[str, Any] = {"__file__": filename}
+    imported: Set[str] = set()
+    body: List[ast.stmt] = []
+
+    for node in tree.body:
+        if _is_read_base_with(node):
+            for stmt in node.body:
+                if not isinstance(stmt, ast.ImportFrom):
+                    raise SyntaxError(
+                        "only 'from <config> import ...' is allowed inside "
+                        f"read_base() ({filename}:{stmt.lineno})"
+                    )
+                base_file = _module_path_to_file(
+                    stmt.module or "", stmt.level, base_dir
+                )
+                base_vars, base_imported = _parse_lazy_config(base_file)
+                names = [a.name for a in stmt.names]
+                if names == ["*"]:
+                    ns.update(base_vars)
+                    imported |= base_imported
+                else:
+                    for alias in stmt.names:
+                        if alias.name not in base_vars:
+                            raise ImportError(
+                                f"{alias.name!r} not defined in {base_file}"
+                            )
+                        ns[alias.asname or alias.name] = base_vars[alias.name]
+            continue
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                name = alias.asname or alias.name.split(".")[0]
+                module = alias.name if alias.asname else alias.name.split(".")[0]
+                ns[name] = LazyObject(module)
+                imported.add(name)
+            continue
+        if isinstance(node, ast.ImportFrom) and node.level == 0:
+            for alias in node.names:
+                ns[alias.asname or alias.name] = LazyObject(
+                    node.module or "", alias.name
+                )
+                imported.add(alias.asname or alias.name)
+            continue
+        body.append(node)
+
+    code = compile(
+        ast.fix_missing_locations(ast.Module(body=body, type_ignores=[])),
+        filename,
+        "exec",
+    )
+    exec(code, ns)
+    cfg = {
+        k: v
+        for k, v in ns.items()
+        if not k.startswith("__")
+        and not isinstance(v, (types.ModuleType, types.FunctionType, type))
+    }
+    return cfg, imported
+
+
 def _exec_config_file(filename: str) -> Dict[str, Any]:
     filename = os.path.abspath(os.path.expanduser(filename))
     if not os.path.isfile(filename):
@@ -106,12 +256,26 @@ def _exec_config_file(filename: str) -> Dict[str, Any]:
 class Config:
     """A frozen-ish attribute-dict view over a merged config namespace."""
 
-    def __init__(self, cfg_dict: Dict[str, Any] | None = None, filename: str | None = None):
+    def __init__(
+        self,
+        cfg_dict: Dict[str, Any] | None = None,
+        filename: str | None = None,
+        imported_names: Optional[Set[str]] = None,
+    ):
         object.__setattr__(self, "_cfg", ConfigDict._wrap(cfg_dict or {}))
         object.__setattr__(self, "filename", filename)
+        object.__setattr__(self, "_imported_names", set(imported_names or ()))
 
     @classmethod
-    def fromfile(cls, filename: str) -> "Config":
+    def fromfile(cls, filename: str, lazy_import: Optional[bool] = None) -> "Config":
+        """Load a Python config file. ``lazy_import=None`` auto-detects the
+        lazy syntax (a ``with read_base():`` block); True forces it."""
+        if lazy_import is None:
+            with open(os.path.abspath(os.path.expanduser(filename))) as f:
+                lazy_import = "read_base" in f.read()
+        if lazy_import:
+            cfg, imported = _parse_lazy_config(filename)
+            return cls(cfg, filename=filename, imported_names=imported)
         cfg = _exec_config_file(filename)
         bases = cfg.pop("_base_", [])
         if isinstance(bases, str):
@@ -168,7 +332,12 @@ class Config:
     def pretty_text(self) -> str:
         import pprint
 
-        return pprint.pformat(dict(self._cfg), width=100, sort_dicts=False)
+        # names imported in a lazy config are accessible but, like the
+        # reference, excluded from dumps (they are code, not config values)
+        shown = {
+            k: v for k, v in self._cfg.items() if k not in self._imported_names
+        }
+        return pprint.pformat(shown, width=100, sort_dicts=False)
 
     def dump(self, path: str) -> None:
         with open(path, "w") as f:
