@@ -49,11 +49,25 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        path = _build()
-        if path is None:
-            _build_failed = True
-            return None
-        lib = ctypes.CDLL(path)
+        for attempt in range(2):
+            path = _build()
+            if path is None:
+                _build_failed = True
+                return None
+            lib = ctypes.CDLL(path)
+            if hasattr(lib, "zz_varint_encode"):
+                break
+            # a stale cached .so (e.g. mtimes preserved by an archive/rsync)
+            # predates newer symbols: force one rebuild, else fall back
+            if attempt == 0:
+                try:
+                    os.remove(path)
+                except OSError:
+                    _build_failed = True
+                    return None
+            else:
+                _build_failed = True
+                return None
         c_i32p = ctypes.POINTER(ctypes.c_int32)
         c_u8p = ctypes.POINTER(ctypes.c_uint8)
 

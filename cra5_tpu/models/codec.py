@@ -38,9 +38,12 @@ def static_shape(t) -> Tuple[int, ...]:
     """Shape tuple from a jit-returned shape (device arrays): ONE batched
     device_get instead of per-element int() — each int() on a tunneled
     backend blocks a ~30ms roundtrip."""
-    if isinstance(t, (tuple, list)) and all(isinstance(v, (int, np.integer)) for v in t):
-        return tuple(int(v) for v in t)
-    return tuple(int(v) for v in jax.device_get(tuple(t)))
+    if isinstance(t, (tuple, list)):
+        if all(isinstance(v, (int, np.integer)) for v in t):
+            return tuple(int(v) for v in t)
+        return tuple(int(v) for v in jax.device_get(tuple(t)))
+    # a single device array: fetch whole, never slice eagerly
+    return tuple(int(v) for v in np.atleast_1d(np.asarray(jax.device_get(t))))
 
 
 class _CodecBase:

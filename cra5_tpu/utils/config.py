@@ -100,19 +100,26 @@ class LazyObject:
     """Placeholder for a module or attribute named in a lazy-import config:
     records the dotted path without importing anything (parity surface:
     reference utils/lazy.py LazyObject/LazyAttr via utils/config.py:986).
-    Attribute access chains lazily; ``build()`` performs the import."""
+    Attribute access chains lazily; ``build()`` performs the import.
 
-    def __init__(self, module: str, attr: str = ""):
+    ``ensure`` carries the full dotted module of an un-aliased
+    ``import a.b.c`` (which binds the name ``a``): build() imports it
+    first so the submodule attributes exist on the parent package."""
+
+    def __init__(self, module: str, attr: str = "", ensure: str = ""):
         object.__setattr__(self, "module", module)
         object.__setattr__(self, "attr", attr)
+        object.__setattr__(self, "ensure", ensure)
 
     def __getattr__(self, name: str) -> "LazyObject":
         if name.startswith("__"):
             raise AttributeError(name)
         attr = f"{self.attr}.{name}" if self.attr else name
-        return LazyObject(self.module, attr)
+        return LazyObject(self.module, attr, self.ensure)
 
     def build(self) -> Any:
+        if self.ensure:
+            importlib.import_module(self.ensure)
         obj: Any = importlib.import_module(self.module)
         if self.attr:
             for part in self.attr.split("."):
@@ -133,7 +140,7 @@ class LazyObject:
         return hash(self.dotted)
 
     def __deepcopy__(self, memo) -> "LazyObject":
-        return LazyObject(self.module, self.attr)
+        return LazyObject(self.module, self.attr, self.ensure)
 
 
 def read_base():
@@ -183,13 +190,14 @@ def _parse_lazy_config(filename: str) -> Tuple[Dict[str, Any], Set[str]]:
     for node in tree.body:
         if _is_read_base_with(node):
             for stmt in node.body:
-                if not isinstance(stmt, ast.ImportFrom):
+                if not isinstance(stmt, ast.ImportFrom) or not stmt.module:
                     raise SyntaxError(
-                        "only 'from <config> import ...' is allowed inside "
-                        f"read_base() ({filename}:{stmt.lineno})"
+                        "only 'from <config-file> import *' or named values "
+                        "are allowed inside read_base() "
+                        f"({filename}:{stmt.lineno})"
                     )
                 base_file = _module_path_to_file(
-                    stmt.module or "", stmt.level, base_dir
+                    stmt.module, stmt.level, base_dir
                 )
                 base_vars, base_imported = _parse_lazy_config(base_file)
                 names = [a.name for a in stmt.names]
@@ -202,17 +210,36 @@ def _parse_lazy_config(filename: str) -> Tuple[Dict[str, Any], Set[str]]:
                             raise ImportError(
                                 f"{alias.name!r} not defined in {base_file}"
                             )
-                        ns[alias.asname or alias.name] = base_vars[alias.name]
+                        bound = alias.asname or alias.name
+                        ns[bound] = base_vars[alias.name]
+                        if alias.name in base_imported:
+                            imported.add(bound)
             continue
         if isinstance(node, ast.Import):
             for alias in node.names:
-                name = alias.asname or alias.name.split(".")[0]
-                module = alias.name if alias.asname else alias.name.split(".")[0]
-                ns[name] = LazyObject(module)
-                imported.add(name)
+                if alias.asname:
+                    ns[alias.asname] = LazyObject(alias.name)
+                    imported.add(alias.asname)
+                else:
+                    # `import a.b.c` binds `a`; build() must import the
+                    # full dotted module so `a.b` exists on the parent
+                    top = alias.name.split(".")[0]
+                    ns[top] = LazyObject(top, ensure=alias.name)
+                    imported.add(top)
             continue
-        if isinstance(node, ast.ImportFrom) and node.level == 0:
+        if isinstance(node, ast.ImportFrom):
+            if node.level > 0:
+                raise SyntaxError(
+                    "relative imports in a lazy config belong inside a "
+                    f"'with read_base():' block ({filename}:{node.lineno})"
+                )
             for alias in node.names:
+                if alias.name == "*":
+                    raise SyntaxError(
+                        "'from <module> import *' is not supported in lazy "
+                        "configs outside read_base() "
+                        f"({filename}:{node.lineno})"
+                    )
                 ns[alias.asname or alias.name] = LazyObject(
                     node.module or "", alias.name
                 )
@@ -272,7 +299,14 @@ class Config:
         lazy syntax (a ``with read_base():`` block); True forces it."""
         if lazy_import is None:
             with open(os.path.abspath(os.path.expanduser(filename))) as f:
-                lazy_import = "read_base" in f.read()
+                source = f.read()
+            # cheap substring pre-filter, then confirm an actual
+            # `with read_base():` block in the AST (a comment or string
+            # mentioning read_base must not flip an eager config to lazy)
+            lazy_import = "read_base" in source and any(
+                _is_read_base_with(n)
+                for n in ast.parse(source, filename).body
+            )
         if lazy_import:
             cfg, imported = _parse_lazy_config(filename)
             return cls(cfg, filename=filename, imported_names=imported)

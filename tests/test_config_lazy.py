@@ -97,3 +97,63 @@ def test_read_base_named_import_and_dump_filter(tmp_path):
 def test_read_base_is_runtime_noop():
     with read_base():
         pass
+
+
+def test_dotted_import_without_alias(tmp_path):
+    cfg_file = _write(
+        tmp_path,
+        "cfg.py",
+        """
+        import concurrent.futures
+
+        pool = dict(type=concurrent.futures.ThreadPoolExecutor)
+        """,
+    )
+    cfg = Config.fromfile(cfg_file, lazy_import=True)
+    import concurrent.futures as cf
+
+    assert cfg.pool["type"].build() is cf.ThreadPoolExecutor
+
+
+def test_read_base_mention_in_comment_stays_eager(tmp_path):
+    cfg_file = _write(
+        tmp_path,
+        "cfg.py",
+        """
+        # TODO: migrate to read_base style some day
+        import math
+
+        lr = math.sqrt(4)
+        """,
+    )
+    cfg = Config.fromfile(cfg_file)  # must NOT flip to lazy mode
+    assert cfg.lr == 2.0
+
+
+def test_star_import_outside_read_base_raises(tmp_path):
+    cfg_file = _write(tmp_path, "cfg.py", "from os.path import *\np = 1\n")
+    with pytest.raises(SyntaxError, match="read_base"):
+        Config.fromfile(cfg_file, lazy_import=True)
+
+
+def test_relative_import_outside_read_base_raises(tmp_path):
+    cfg_file = _write(tmp_path, "cfg.py", "from .base import x\n")
+    with pytest.raises(SyntaxError, match="read_base"):
+        Config.fromfile(cfg_file, lazy_import=True)
+
+
+def test_named_read_base_import_propagates_lazy_status(tmp_path):
+    _write(tmp_path, "base_cfg.py", "import torch\nx = 1\n")
+    child = _write(
+        tmp_path,
+        "child.py",
+        """
+        with read_base():
+            from base_cfg import torch, x
+
+        y = x + 1
+        """,
+    )
+    cfg = Config.fromfile(child, lazy_import=True)
+    assert cfg.y == 2
+    assert "'torch':" not in cfg.pretty_text
