@@ -34,18 +34,6 @@ def _unwrap(s):
     return s
 
 
-def static_shape(t) -> Tuple[int, ...]:
-    """Shape tuple from a jit-returned shape (device arrays): ONE batched
-    device_get instead of per-element int() — each int() on a tunneled
-    backend blocks a ~30ms roundtrip."""
-    if isinstance(t, (tuple, list)):
-        if all(isinstance(v, (int, np.integer)) for v in t):
-            return tuple(int(v) for v in t)
-        return tuple(int(v) for v in jax.device_get(tuple(t)))
-    # a single device array: fetch whole, never slice eagerly
-    return tuple(int(v) for v in np.atleast_1d(np.asarray(jax.device_get(t))))
-
-
 class _CodecBase:
     """CDF-table management + stream helpers shared by all codecs."""
 
@@ -178,7 +166,7 @@ class ImageCodec(_CodecBase):
                 ]
             return {
                 "strings": [y_strings],
-                "shape": static_shape(out["y_shape"]),
+                "shape": tuple(int(s) for s in out["y_sym"].shape[-2:]),
             }
 
         if self.coder == "v2":
@@ -193,7 +181,7 @@ class ImageCodec(_CodecBase):
             streams = self._eb_coder.encode_finalize_many(handles)
             return {
                 "strings": [streams[B:], streams[:B]],
-                "shape": static_shape(out["z_shape"]),
+                "shape": tuple(int(s) for s in out["z_sym"].shape[-2:]),
             }
 
         y_sym = np.asarray(out["y_sym"])
@@ -213,7 +201,7 @@ class ImageCodec(_CodecBase):
         ]
         return {
             "strings": [y_strings, z_strings],
-            "shape": static_shape(out["z_shape"]),
+            "shape": tuple(int(s) for s in out["z_sym"].shape[-2:]),
         }
 
     def decompress(self, strings: Sequence, shape: Tuple[int, int]) -> Dict[str, Any]:
@@ -343,7 +331,7 @@ class AutoregressiveCodec(_CodecBase):
         out = self._analysis(self.variables, jnp.asarray(x))
         y = np.asarray(out["y"], np.float32)
         z_sym = np.asarray(out["z_sym"])
-        z_shape = static_shape(out["z_shape"])
+        z_shape = tuple(int(s) for s in out["z_sym"].shape[-2:])
 
         z_idx = self._channel_indexes(z_sym.shape)
         z_strings = [

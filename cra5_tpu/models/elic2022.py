@@ -26,7 +26,6 @@ import numpy as np
 from ..entropy import EntropyBottleneck, GaussianConditional, build_indexes
 from ..entropy.ops import quantize_ste
 from ..nn.conv import AttentionBlock, CheckerboardMaskedConv2d, conv2d, deconv2d
-from .codec import static_shape
 from .google import _ConvStack
 
 
@@ -404,7 +403,7 @@ class ElicCodec:
 
         return {
             "strings": [y_strings, z_strings],
-            "shape": static_shape(out["z_shape"]),
+            "shape": tuple(int(s) for s in out["z_sym"].shape[-2:]),
             "y_shape": tuple(int(s) for s in y.shape[-2:]),
         }
 

@@ -27,7 +27,6 @@ from ..entropy import EntropyBottleneck, GaussianConditional, build_indexes
 from ..entropy.ops import quantize_ste
 from ..nn.conv import conv2d, subpel_conv3x3
 from ..nn.swin import SwinStage
-from .codec import static_shape
 from .google import _ConvStack
 
 
@@ -370,7 +369,7 @@ class CharmCodec:
             y_hat_slices.append(y_hat_slice)
         return {
             "strings": [y_strings, z_strings],
-            "shape": static_shape(out["z_shape"]),
+            "shape": tuple(int(s) for s in out["z_sym"].shape[-2:]),
         }
 
     def decompress(self, strings, shape) -> Dict[str, Any]:

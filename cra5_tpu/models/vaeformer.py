@@ -469,9 +469,9 @@ class VAEformerCodec:
             ) + self._gc_coder.encode_dispatch_batch(out["y_sym"], gc_idx_dev)
             streams = self._eb_coder.encode_finalize_many(handles)
             z_strings, y_strings = streams[:B], streams[B:]
-            # static from the config: int() on a jit-returned shape array
-            # would block ~30ms per element on a tunneled backend
-            zs = self.model.cfg.hyper_grid
+            # static array metadata: int() on a jit-returned shape VALUE
+            # would block a ~30ms tunnel roundtrip per element
+            zs = tuple(int(s) for s in z_sym_dev.shape[-2:])
             return {"strings": [y_strings, z_strings], "z_shape": zs, "shape": zs}
 
         # uint8 shrinks the transfer 4x but only holds 256 table rows
@@ -491,7 +491,7 @@ class VAEformerCodec:
             self._encode_stream(self._gc_table, None, y_sym[i], gc_idx[i])
             for i in range(y_sym.shape[0])
         ]
-        zs = self.model.cfg.hyper_grid
+        zs = tuple(int(s) for s in z_sym.shape[-2:])
         return {"strings": [y_strings, z_strings], "z_shape": zs, "shape": zs}
 
     def decompress(

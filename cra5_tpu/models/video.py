@@ -27,7 +27,6 @@ import numpy as np
 from ..entropy import EntropyBottleneck, GaussianConditional, build_indexes
 from ..entropy.ops import quantize_ste
 from ..nn.conv import conv2d, deconv2d, qrelu
-from .codec import static_shape
 from .google import _ConvStack
 
 
@@ -394,7 +393,7 @@ class ScaleSpaceFlowCodec:
         y_strings = [
             coders["gc"].encode_from_device(y_sym[i], gc_idx[i]) for i in range(B)
         ]
-        return out["y_hat"], [y_strings, z_strings], static_shape(out["z_shape"])
+        return out["y_hat"], [y_strings, z_strings], tuple(int(s) for s in out["z_sym"].shape[-2:])
 
     def _decode_hp(self, strings, z_shape, which, batch):
         coders = self._coders[which]
