@@ -373,37 +373,16 @@ class LaneCoder:
     # -- device-resident paths ---------------------------------------------
     def encode_dispatch_batch(self, symbols, indexes):
         """Queue encodes for a whole (B, ...) batch and return B handles for
-        encode_finalize_many. On TPU this is ONE vmapped scan for the whole
-        batch (measured 1.5x on the batch-8 268v encode: the scan step
-        count doesn't grow with B); on CPU, XLA lowers the vmapped
-        compaction scatter WORSE than B sequential ones (0.7x), so it
-        dispatches per sample there — all dispatches queue asynchronously
-        and the host transfers batch in finalize either way."""
+        encode_finalize_many. One dispatch per sample: all dispatches queue
+        asynchronously and the host transfers batch in finalize. (A vmapped
+        whole-batch scan was 1.5x faster at K=4096 in round 1 but is 1.5x
+        SLOWER at the K=8192 lane density — 1.07s vs 1.57s for the batch-8
+        268v z+y encode — so the per-sample path is now unconditional.)"""
         B = symbols.shape[0]
         n = int(np.prod(symbols.shape[1:]))
         if n == 0:
             return [None] * B
-        if B == 1 or jax.default_backend() not in ("tpu", "axon"):
-            return [
-                self.encode_dispatch(symbols[b], indexes[b]) for b in range(B)
-            ]
-        K = self.num_lanes or default_num_lanes(n)
-        M = -(-n // K)
-        magic_m, magic_s = self._magic_tables()
-
-        def one(s, i):
-            return _encode_device(
-                s, i, self._cdf_flat, self._offsets, self._max_values,
-                magic_m, magic_s, self._max_len, M, K,
-            )
-
-        x_final, stream_buf, esc_buf, n_words, n_esc = jax.vmap(one)(
-            symbols.reshape(B, -1), indexes.reshape(B, -1)
-        )
-        return [
-            (n, K, M, x_final[b], stream_buf[b], esc_buf[b], n_words[b], n_esc[b])
-            for b in range(B)
-        ]
+        return [self.encode_dispatch(symbols[b], indexes[b]) for b in range(B)]
 
     def encode_dispatch(self, symbols, indexes):
         """Queue the on-device encode (prep + scan + compaction) and return

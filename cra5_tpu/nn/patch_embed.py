@@ -19,31 +19,11 @@ import jax
 import jax.numpy as jnp
 
 
-class PatchEmbed(nn.Module):
-    embed_dim: int
-    patch_size: Tuple[int, int]
-    patch_stride: Tuple[int, int]
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, Tuple[int, int]]:
-        """x: (B, C, H, W) -> tokens (B, Hp*Wp, D), (Hp, Wp)."""
-        y = nn.Conv(
-            self.embed_dim,
-            kernel_size=self.patch_size,
-            strides=self.patch_stride,
-            padding="VALID",
-            dtype=self.dtype,
-            name="proj",
-        )(x.transpose(0, 2, 3, 1))  # NHWC
-        B, Hp, Wp, D = y.shape
-        return y.reshape(B, Hp * Wp, D), (Hp, Wp)
-
-
-class _ConvTransposeParams(nn.Module):
+class _ConvParams(nn.Module):
     """Kernel/bias with the exact names, shapes, and inits of flax
-    ``nn.ConvTranspose`` so both PatchUnembed compute paths share one
-    param tree (checkpoints and the torch converter stay valid)."""
+    ``nn.Conv``/``nn.ConvTranspose`` so the matmul fast paths share one
+    param tree with the general conv paths (checkpoints and the torch
+    converter stay valid)."""
 
     features: int
     kernel_size: Tuple[int, int]
@@ -60,6 +40,57 @@ class _ConvTransposeParams(nn.Module):
             else None
         )
         return kernel, bias
+
+
+class PatchEmbed(nn.Module):
+    """Strided-conv patch embedding.
+
+    For the patch geometries actually used — kw == sw (columns tile) and
+    kh in {sh, sh+1} (rows overlap by at most one) — the conv is computed
+    as explicit patch extraction (slice/concat) + one MXU matmul, which
+    XLA schedules better than the odd-strided convolution. Numerics match
+    ``nn.Conv`` (cross-correlation, no flip); the general geometry falls
+    back to the real conv with the same params."""
+
+    embed_dim: int
+    patch_size: Tuple[int, int]
+    patch_stride: Tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, Tuple[int, int]]:
+        """x: (B, C, H, W) -> tokens (B, Hp*Wp, D), (Hp, Wp)."""
+        kh, kw = self.patch_size
+        sh, sw = self.patch_stride
+        B, C, H, W = x.shape
+        Hp = (H - kh) // sh + 1
+        Wp = (W - kw) // sw + 1
+        kernel, bias = _ConvParams(
+            self.embed_dim, self.patch_size, C, True, name="proj"
+        )()
+        xn = x.transpose(0, 2, 3, 1).astype(self.dtype)  # NHWC
+        k = kernel.astype(self.dtype)
+
+        if kw == sw and kh in (sh, sh + 1) and W == Wp * sw:
+            main = xn[:, : Hp * sh].reshape(B, Hp, sh, W, C)
+            if kh == sh + 1:
+                extra = xn[:, sh :: sh][:, :Hp]  # row h*sh + sh per token
+                patch = jnp.concatenate([main, extra[:, :, None]], axis=2)
+            else:
+                patch = main
+            patch = patch.reshape(B, Hp, kh, Wp, kw, C).transpose(0, 1, 3, 2, 4, 5)
+            y = patch.reshape(B, Hp * Wp, kh * kw * C) @ k.reshape(-1, self.embed_dim)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xn,
+                k,
+                window_strides=self.patch_stride,
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(B, Hp * Wp, self.embed_dim)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y, (Hp, Wp)
 
 
 class PatchUnembed(nn.Module):
@@ -91,7 +122,7 @@ class PatchUnembed(nn.Module):
         kh, kw = self.patch_size
         sh, sw = self.patch_stride
         C = self.out_chans
-        kernel, bias = _ConvTransposeParams(
+        kernel, bias = _ConvParams(
             C, self.patch_size, D, self.use_bias, name="final"
         )()
         y = x.reshape(B, Hp, Wp, D).astype(self.dtype)
