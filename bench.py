@@ -106,11 +106,11 @@ def main():
     # threads, so one sample's host<->device stream transfers overlap the
     # other's model/scan compute (the production serving shape: a stream
     # of timesteps, not one). Sequential latency stays in the detail dict.
+    from concurrent.futures import ThreadPoolExecutor
+
     concurrency = int(os.environ.get("BENCH_CONCURRENCY", "2"))
     pipe_throughput = None
     if concurrency > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
         def roundtrip(xi):
             out = codec.compress(xi)
             dec = codec.decompress(out["strings"], out["z_shape"])
@@ -149,8 +149,6 @@ def main():
                 dec_only.append(time.time() - t0)
             dec_rate = batch / float(np.median(dec_only))
             if concurrency > 1:
-                from concurrent.futures import ThreadPoolExecutor
-
                 def dec_one(_):
                     d = codec.decompress(out["strings"], out["z_shape"])
                     jax.block_until_ready(d["x_hat"])
