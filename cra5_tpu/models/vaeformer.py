@@ -68,7 +68,7 @@ class VAEformerConfig:
     # (vit_nlc.py:628-632)
     use_conv_transpose: bool = True
     # rematerialize transformer blocks during training (memory for FLOPs)
-    remat: bool = False
+    remat: bool | str = False  # False | True("full") | "dots" (see nn.vit._block_cls)
     name: str = "vaeformer"
 
     @property

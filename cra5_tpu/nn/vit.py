@@ -30,10 +30,24 @@ from .patch_embed import PatchEmbed, PatchUnembed
 from .pos_embed import get_2d_sincos_pos_embed
 
 
-def _block_cls(remat: bool):
+def _block_cls(remat):
     """Optionally rematerialized Block: trades recompute for activation
-    memory in the 24-deep ViT-L towers during training (jax.checkpoint)."""
-    return nn.remat(Block, static_argnums=(2, 3, 4)) if remat else Block
+    memory in the 24-deep ViT-L towers during training (jax.checkpoint).
+
+    remat: False = no checkpointing; True or "full" = recompute the whole
+    block in the backward; "dots" = jax's dots_with_no_batch_dims_saveable
+    policy — the projection/MLP matmul outputs are SAVED and only the
+    cheap elementwise/attention pieces recompute (~190 MB/block more
+    live memory for one fewer forward's worth of matmul recompute)."""
+    if not remat:
+        return Block
+    if remat == "dots":
+        return nn.remat(
+            Block,
+            static_argnums=(2, 3, 4),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    return nn.remat(Block, static_argnums=(2, 3, 4))
 
 
 def _win_for_block(
@@ -72,7 +86,7 @@ class ViTEncoder(nn.Module):
     interval: int = 4
     z_dim: Optional[int] = None
     drop_path_rate: float = 0.0
-    remat: bool = False
+    remat: bool | str = False  # False | True("full") | "dots" (see nn.vit._block_cls)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -149,7 +163,7 @@ class ViTDecoder(nn.Module):
     z_dim: Optional[int] = None
     use_conv_transpose: bool = True
     drop_path_rate: float = 0.0
-    remat: bool = False
+    remat: bool | str = False  # False | True("full") | "dots" (see nn.vit._block_cls)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -49,55 +49,68 @@ def main(argv=None):
     x = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.in_chans, *cfg.img_size), jnp.float32)
 
     results = {}
-    for mode in ("auto", "on"):
+    # (flash routing, remat policy) variants: the flash on/off question is
+    # settled (einsum wins at train batch, see PROFILE_268.md) so "auto"
+    # flash routing is fixed; the remat policy sweep trades ~190MB/block
+    # of saved matmul outputs for one fewer forward's worth of recompute
+    # ("dots" = dots_with_no_batch_dims_saveable). Each variant is
+    # fault-isolated: a "dots" OOM records an error, not a crash.
+    for mode, remat in (("auto", True), ("auto", "dots")):
+        key = f"{mode}+{'dots' if remat == 'dots' else 'full'}"
+        cfg = dataclasses.replace(cfg, remat=remat)
         blocks.set_flash_attention(mode)
         model = VAEformer(cfg, dtype=jnp.bfloat16)
         trainer = Trainer(
             model,
             TrainerConfig(use_ema=False, log_every=10**9, ckpt_every=10**9),
         )
-        t0 = time.time()
-        state = trainer.init_state(x)
-        init_s = time.time() - t0
-
-        t0 = time.time()
-        state, metrics = trainer._step_fn(state, x, jax.random.PRNGKey(1))
-        float(metrics["loss"])
-        compile_s = time.time() - t0
-
-        times = []
-        for i in range(args.steps):
+        state = None
+        try:
             t0 = time.time()
-            state, metrics = trainer._step_fn(state, x, jax.random.PRNGKey(2 + i))
-            # fetch a metric VALUE: on the tunneled backend,
-            # block_until_ready on donated outputs returns early and
-            # reports ~100x-too-fast steps; a device_get cannot lie
-            float(metrics["loss"])
-            times.append(time.time() - t0)
-        results[mode] = {
-            "step_s": sorted(times)[len(times) // 2],
-            "all_steps_s": [round(t, 3) for t in times],
-            "compile_s": round(compile_s, 1),
-            "init_s": round(init_s, 1),
-            "loss": float(metrics["loss"]),
-        }
-        print(json.dumps({mode: results[mode]}), flush=True)
+            state = trainer.init_state(x)
+            init_s = time.time() - t0
 
-        if args.trace and mode == "auto":
+            t0 = time.time()
+            state, metrics = trainer._step_fn(state, x, jax.random.PRNGKey(1))
+            float(metrics["loss"])
+            compile_s = time.time() - t0
+
+            times = []
+            for i in range(args.steps):
+                t0 = time.time()
+                state, metrics = trainer._step_fn(state, x, jax.random.PRNGKey(2 + i))
+                # fetch a metric VALUE: on the tunneled backend,
+                # block_until_ready on donated outputs returns early and
+                # reports ~100x-too-fast steps; a device_get cannot lie
+                float(metrics["loss"])
+                times.append(time.time() - t0)
+            results[key] = {
+                "step_s": sorted(times)[len(times) // 2],
+                "all_steps_s": [round(t, 3) for t in times],
+                "compile_s": round(compile_s, 1),
+                "init_s": round(init_s, 1),
+                "loss": float(metrics["loss"]),
+            }
+        except Exception as e:  # noqa: BLE001 — typically RESOURCE_EXHAUSTED
+            results[key] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+        print(json.dumps({key: results[key]}), flush=True)
+
+        if args.trace and key == "auto+full" and state is not None:
             with jax.profiler.trace(args.trace_dir):
                 state, _ = trainer._step_fn(state, x, jax.random.PRNGKey(99))
                 jax.block_until_ready(state.params)
             results["trace_dir"] = args.trace_dir
         del state, trainer, model
 
-    auto_s = results["auto"]["step_s"]
-    on_s = results["on"]["step_s"]
-    results["window_flash_speedup"] = round(auto_s / on_s, 3)
-    results["decision"] = (
-        "route window blocks through the flash kernel"
-        if on_s < 0.95 * auto_s
-        else "keep einsum window attention (flash not faster)"
-    )
+    auto_s = results.get("auto+full", {}).get("step_s")
+    dots_s = results.get("auto+dots", {}).get("step_s")
+    if auto_s and dots_s:
+        results["dots_remat_speedup"] = round(auto_s / dots_s, 3)
+        results["decision"] = (
+            "use remat='dots' (dots_with_no_batch_dims_saveable) for 268v training"
+            if dots_s < 0.95 * auto_s
+            else "keep remat=True (full block recompute; dots not faster)"
+        )
     print(json.dumps(results))
     return 0
 
