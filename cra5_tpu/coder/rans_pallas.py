@@ -1,0 +1,272 @@
+"""Pallas TPU kernels for the interleaved-lane rANS scans (format v2).
+
+The lax.scan state machines in ``coder/rans_tpu.py`` pay ~0.13 ms/step of
+fixed XLA loop overhead on v5e (measured, PERF.md "scan anatomy") — for
+the 268v y-stream (M=324..648 steps) that's ~80-120 ms per scan, an
+order of magnitude more than the arithmetic itself. These kernels run
+the whole sequential loop *inside one Pallas kernel*: the grid iterates
+over scan steps (TPU grids are sequential, so the lane state lives in a
+VMEM scratch that persists across steps), Mosaic double-buffers the
+per-step operand rows, and each step is pure VPU arithmetic.
+
+Layout: the K lanes are viewed as (R, K//R) with R chosen so the minor
+dim is a multiple of 128 (full VPU tiles). The flattening order of
+(R, K//R) is row-major, identical to the flat lane order, so emitted
+words compact to the same byte stream as the lax.scan path — container
+format v2 is unchanged and the two implementations interoperate.
+
+Encode semantics mirror ``rans_tpu._encode_scan`` exactly (32-bit lane
+states, 16-bit renorm words, LIFO step order via reversed grid index
+map, Granlund-Montgomery magic division). The decode counterpart
+mirrors ``rans_tpu._decode_scan`` (dense cum->bin LUT gather + stream
+refill with an in-kernel prefix sum).
+
+No reference counterpart: the reference's coder is a serial host loop
+(/root/reference/cra5/models/compressai/cpp_exts/rans/rans_interface.cpp).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Kernel routing policy, mirroring nn.blocks's flash switch: "auto" uses
+# the Pallas scans on TPU backends for lane counts the VPU view supports,
+# "on"/"off" force the choice (tests A/B both paths).
+_PALLAS_MODE = os.environ.get("CRA5_TPU_PALLAS_RANS", "auto")
+
+
+def set_pallas_rans(mode: str) -> None:
+    """mode: "auto" | "on" | "off"."""
+    global _PALLAS_MODE
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"invalid pallas rans mode {mode!r}")
+    _PALLAS_MODE = mode
+
+
+def use_pallas_scan(K: int) -> bool:
+    """Route this (M, K) ENCODE scan through the Pallas kernel?"""
+    if _PALLAS_MODE == "off" or K % 128:
+        return False
+    if _PALLAS_MODE == "on":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def use_pallas_decode(K: int) -> bool:
+    """Route a decode through the Pallas kernel? The decode kernel needs
+    per-lane vector gathers (binary-search probes + stream refill), which
+    the current Mosaic lowering rejects ("Only 2D gather is supported",
+    with no take/take_along_axis form accepted — probed 2026-08-16 on
+    v5e). The kernel is correctness-locked in interpret mode; auto never
+    selects it on hardware. Flip this when Mosaic gains vector gather."""
+    if _PALLAS_MODE != "on" or K % 128:
+        return False
+    return True
+
+PRECISION = 16
+_LANE_L = 1 << 16  # lower bound of the 32-bit lane state (plain int:
+# jnp constants at module scope become captured tracers in pallas kernels)
+
+
+def _mulhi32(a, b):
+    """High 32 bits of a 32x32 unsigned multiply via 16-bit partials
+    (no 64-bit integer multiply on the VPU)."""
+    mask = jnp.uint32(0xFFFF)
+    ah, al = a >> 16, a & mask
+    bh, bl = b >> 16, b & mask
+    albl = al * bl
+    mid1 = ah * bl
+    mid = mid1 + al * bh  # may wrap mod 2**32
+    carry = (mid < mid1).astype(jnp.uint32)
+    t = (albl >> 16) + (mid & mask)
+    return ah * bh + (mid >> 16) + (carry << 16) + (t >> 16)
+
+
+def _lane_view(K: int) -> tuple[int, int]:
+    """(R, Kd) factorization of K lanes with Kd a multiple of 128 where
+    possible, R <= 8 sublanes."""
+    R = 1
+    while R < 8 and (K // (R * 2)) % 128 == 0 and K // (R * 2) >= 128:
+        R *= 2
+    if K % R:
+        raise ValueError(f"lane count {K} not factorable for the VPU view")
+    return R, K // R
+
+
+def _encode_step_kernel(starts_ref, freqs_ref, m_ref, s_ref,
+                        states_ref, emit_ref, words_ref, x_ref):
+    """One scan step (one grid iteration, reverse order): renormalize,
+    then push the symbol into each lane state."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        x_ref[...] = jnp.full(x_ref.shape, _LANE_L, jnp.uint32)
+
+    x = x_ref[...]
+    freq = freqs_ref[0].astype(jnp.uint32)
+    emit = x >= (freq << PRECISION)
+    words_ref[0] = (x & 0xFFFF).astype(jnp.uint16)
+    emit_ref[0] = emit.astype(jnp.uint8)
+    x = jnp.where(emit, x >> PRECISION, x)
+    m = m_ref[0]
+    q0 = _mulhi32(m, x)
+    q = (((x - q0) >> 1) + q0) >> s_ref[0].astype(jnp.uint32)
+    q = jnp.where(freq == 1, x, q)
+    r = x - q * freq
+    x_ref[...] = (q << PRECISION) + r + starts_ref[0].astype(jnp.uint32)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _fin():
+        states_ref[...] = x_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "interpret"))
+def encode_scan_pallas(bins, starts, freqs, magic_m, magic_s, num_steps,
+                       interpret=None):
+    """Drop-in replacement for ``rans_tpu._encode_scan``: inputs (M, K)
+    step-major int32 (magic_m uint32); returns (final_states (K,) uint32,
+    emit (M, K) bool, words (M, K) uint16). ``bins`` is unused (the
+    tables are pre-gathered) and kept for signature parity."""
+    del bins
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # Mosaic needs real TPU
+    M, K = starts.shape
+    R, Kd = _lane_view(K)
+    assert M == num_steps
+    shape3 = (M, R, Kd)
+    # encode walks steps in reverse (LIFO): grid step t handles row M-1-t
+    rev = lambda t: (M - 1 - t, 0, 0)
+    row_spec = lambda: pl.BlockSpec((1, R, Kd), rev, memory_space=pltpu.VMEM)
+    states, emit, words = pl.pallas_call(
+        _encode_step_kernel,
+        grid=(M,),
+        in_specs=[row_spec() for _ in range(4)],
+        out_specs=(
+            pl.BlockSpec((R, Kd), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, Kd), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, Kd), rev, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, Kd), jnp.uint32),
+            jax.ShapeDtypeStruct(shape3, jnp.uint8),
+            jax.ShapeDtypeStruct(shape3, jnp.uint16),
+        ),
+        scratch_shapes=[pltpu.VMEM((R, Kd), jnp.uint32)],
+        interpret=interpret,
+    )(
+        starts.reshape(shape3),
+        freqs.reshape(shape3),
+        magic_m.reshape(shape3),
+        magic_s.reshape(shape3),
+    )
+    return states.reshape(K), emit.reshape(M, K).astype(bool), words.reshape(M, K)
+
+
+def _make_decode_kernel(n_probes: int, max_len: int):
+    def _decode_step_kernel(states_ref, cdf_ref, stream_ref,
+                            row0_ref, mv_ref, off_ref,
+                            values_ref, sentinel_ref,
+                            x_ref, ptr_ref):
+        """One decode step: symbol lookup by in-VMEM binary search, state
+        update, stream refill via an in-kernel flat prefix sum."""
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            x_ref[...] = states_ref[...]
+            ptr_ref[0] = 0
+
+        x = x_ref[...]
+        cum = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        row0 = row0_ref[0]
+        tab = cdf_ref[...]
+
+        # binary search: tab rows are padded with 2**16 past cdf_length,
+        # and cum < 2**16, so probes never land in padding
+        lo = jnp.zeros_like(cum)
+        hi = jnp.full_like(cum, max_len - 1)
+        for _ in range(n_probes):
+            mid = (lo + hi + 1) >> 1
+            c = jnp.take(tab, row0 + mid, axis=0)
+            le = c <= cum
+            lo = jnp.where(le, mid, lo)
+            hi = jnp.where(le, hi, mid - 1)
+        s = lo
+        start = jnp.take(tab, row0 + s, axis=0)
+        freq = (jnp.take(tab, row0 + s + 1, axis=0) - start).astype(jnp.uint32)
+
+        x = freq * (x >> PRECISION) + cum.astype(jnp.uint32) - start.astype(jnp.uint32)
+
+        refill = (x < _LANE_L).astype(jnp.int32)
+        inc = jnp.cumsum(refill, axis=1)
+        row_tot = inc[:, -1:]
+        shift = jnp.cumsum(row_tot, axis=0) - row_tot
+        ranks = inc + shift - refill
+        # non-refilling lanes carry junk ranks; clamp so the gather stays
+        # in bounds (their result is discarded by the where below)
+        pos = jnp.minimum(ptr_ref[0] + ranks, stream_ref.shape[0] - 1)
+        w = jnp.take(stream_ref[...], pos, axis=0).astype(jnp.uint32)
+        x_ref[...] = jnp.where(refill == 1, (x << PRECISION) | w, x)
+        ptr_ref[0] = ptr_ref[0] + jnp.sum(refill)
+
+        sentinel_ref[0] = (s == mv_ref[0]).astype(jnp.uint8)
+        values_ref[0] = s + off_ref[0]
+
+    return _decode_step_kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_len", "num_steps", "interpret")
+)
+def decode_scan_pallas(row0, states, stream, cdf_flat, mv, off,
+                       max_len, num_steps, interpret=None):
+    """Pallas counterpart of ``rans_tpu._decode_scan``. The caller
+    pre-gathers everything the static index grid determines: ``row0`` =
+    indexes*max_len, ``mv`` = max_values[indexes], ``off`` =
+    offsets[indexes], all (M, K) int32. ``stream`` is int32 (widened
+    uint16 renorm words), ``cdf_flat`` the padded search table as a
+    (ncdfs*max_len,) int32 vector. Returns (values (M, K) int32,
+    sentinel (M, K) bool)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # Mosaic needs real TPU
+    M, K = row0.shape
+    R, Kd = _lane_view(K)
+    assert M == num_steps
+    shape3 = (M, R, Kd)
+    n_probes = max(1, (max_len - 1).bit_length())
+    fwd = lambda t: (t, 0, 0)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    row_spec = lambda: pl.BlockSpec((1, R, Kd), fwd, memory_space=pltpu.VMEM)
+    values, sentinel = pl.pallas_call(
+        _make_decode_kernel(n_probes, max_len),
+        grid=(M,),
+        in_specs=[full(), full(), full(), row_spec(), row_spec(), row_spec()],
+        out_specs=(
+            pl.BlockSpec((1, R, Kd), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, Kd), fwd, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(shape3, jnp.int32),
+            jax.ShapeDtypeStruct(shape3, jnp.uint8),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, Kd), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        states.reshape(R, Kd),
+        cdf_flat,
+        stream,
+        row0.reshape(shape3),
+        mv.reshape(shape3),
+        off.reshape(shape3),
+    )
+    return values.reshape(M, K), sentinel.reshape(M, K).astype(bool)

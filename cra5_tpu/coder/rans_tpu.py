@@ -186,6 +186,12 @@ def _encode_scan(bins, starts, freqs, magic_m, magic_s, num_steps):
     return x_final, emit, words
 
 
+def _pallas_encode_scan(bins, starts, freqs, magic_m, magic_s, num_steps):
+    from .rans_pallas import encode_scan_pallas
+
+    return encode_scan_pallas(bins, starts, freqs, magic_m, magic_s, num_steps)
+
+
 @functools.partial(jax.jit, static_argnames=("num_steps",))
 def _decode_scan(indexes, states, stream, cdf_flat, sym_lut, max_values,
                  offsets, max_len, num_steps):
@@ -225,9 +231,9 @@ def _decode_scan(indexes, states, stream, cdf_flat, sym_lut, max_values,
     return values, sentinel
 
 
-@functools.partial(jax.jit, static_argnames=("max_len", "M", "K"))
+@functools.partial(jax.jit, static_argnames=("max_len", "M", "K", "use_pallas"))
 def _encode_device(symbols_any, indexes_any, cdf_flat, offsets, max_values,
-                   magic_m_flat, magic_s_flat, max_len, M, K):
+                   magic_m_flat, magic_s_flat, max_len, M, K, use_pallas=False):
     """Fully on-device encode: padding, symbol prep (escape mapping,
     cdf/magic gathers), the rANS scan, and compaction of the emitted
     words and escape values — one dispatch; only count-sized buffers
@@ -255,7 +261,10 @@ def _encode_device(symbols_any, indexes_any, cdf_flat, offsets, max_values,
     s = magic_s_flat[row0 + bins]
 
     grid = lambda a: a.reshape(M, K)
-    x_final, emit, words = _encode_scan(
+    # the Pallas kernel runs the whole sequential loop on-chip (~0.13
+    # ms/step of lax.scan loop overhead avoided, see coder/rans_pallas.py)
+    scan = _pallas_encode_scan if use_pallas else _encode_scan
+    x_final, emit, words = scan(
         grid(bins), grid(starts), grid(freqs), grid(m), grid(s.astype(jnp.int32)), M
     )
 
@@ -295,19 +304,34 @@ def _slicer(size: int):
     return jax.jit(lambda a: jax.lax.slice(a, (0,), (size,)))
 
 
-@functools.partial(jax.jit, static_argnames=("max_len", "M", "K", "has_esc"))
+@functools.partial(
+    jax.jit, static_argnames=("max_len", "M", "K", "has_esc", "use_pallas")
+)
 def _decode_device(indexes_any, states, stream, esc_vals, cdf_flat, sym_lut,
-                   max_values, offsets, max_len, M, K, has_esc):
+                   max_values, offsets, max_len, M, K, has_esc,
+                   use_pallas=False):
     """Fully on-device decode incl. escape scatter — one dispatch."""
     idx_shape = indexes_any.shape
     idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
     n = idx_flat.shape[0]
     pad = M * K - n
     idx_p = jnp.pad(idx_flat, (0, pad)) if pad else idx_flat
-    values, sentinel = _decode_scan(
-        idx_p.reshape(M, K), states, stream, cdf_flat, sym_lut,
-        max_values, offsets, max_len, M,
-    )
+    if use_pallas:
+        # pre-gather everything the static index grid determines; the
+        # kernel then only needs the small padded search table (no dense
+        # cum->bin LUT: 12-probe in-VMEM binary search replaces it)
+        from .rans_pallas import decode_scan_pallas
+
+        idx2 = idx_p.reshape(M, K)
+        values, sentinel = decode_scan_pallas(
+            idx2 * max_len, states, stream.astype(jnp.int32), cdf_flat,
+            max_values[idx2], offsets[idx2], max_len, M,
+        )
+    else:
+        values, sentinel = _decode_scan(
+            idx_p.reshape(M, K), states, stream, cdf_flat, sym_lut,
+            max_values, offsets, max_len, M,
+        )
     values = values.reshape(-1)[: n]
     if has_esc:
         sentinel = sentinel.reshape(-1)[: n]
@@ -346,6 +370,18 @@ class LaneCoder:
                 jnp.asarray(pad(s, np.int32(0))),
             )
         return self._magic
+
+    def _pallas_decode_ok(self, K: int, stream_len: int) -> bool:
+        """Route this decode through the Pallas kernel? Requires the VPU
+        lane view, Mosaic gather support (see rans_pallas.use_pallas_decode
+        — currently explicit-"on" only), and that the search table +
+        widened stream fit VMEM comfortably (the kernel holds both
+        resident)."""
+        from .rans_pallas import use_pallas_decode
+
+        return use_pallas_decode(K) and (
+            (int(self._cdf_flat.size) + stream_len) * 4 <= (6 << 20)
+        )
 
     def _decode_lut(self):
         """(ncdfs, 2**PRECISION) int16: bin of each cum value — one gather
@@ -397,9 +433,12 @@ class LaneCoder:
         K = self.num_lanes or default_num_lanes(n)
         M = -(-n // K)
         magic_m, magic_s = self._magic_tables()
+        from .rans_pallas import use_pallas_scan
+
         out = _encode_device(
             symbols, indexes, self._cdf_flat, self._offsets, self._max_values,
             magic_m, magic_s, self._max_len, M, K,
+            use_pallas=use_pallas_scan(K),
         )
         return (n, K, M) + out
 
@@ -503,11 +542,17 @@ class LaneCoder:
                 f"symbol count mismatch: stream {n}, indexes {indexes.shape[1:]}"
             )
         M = -(-n // K)
+        # single-sample only: the vmapped batch path keeps the lax.scan
+        # state machine (batching a Pallas grid is not worth the risk for
+        # a path that per-sample dispatch already beats on TPU)
+        use_p = kind == "v2x1" and self._pallas_decode_ok(K, int(stream.shape[-1]))
+        lut = jnp.zeros(1, jnp.int16) if use_p else self._decode_lut()
 
         def one(idx, st, sw, ev):
             return _decode_device(
-                idx, st, sw, ev, self._cdf_flat, self._decode_lut(),
+                idx, st, sw, ev, self._cdf_flat, lut,
                 self._max_values, self._offsets, self._max_len, M, K, has_esc,
+                use_pallas=use_p,
             )
 
         if kind == "v2x1":  # unbatched single-sample path
@@ -544,19 +589,21 @@ class LaneCoder:
         esc_padded = np.pad(esc_val, (0, _bucket(max(n_esc, 1)) - n_esc))
 
         M = -(-n // K)
+        use_p = self._pallas_decode_ok(K, len(stream))
         return _decode_device(
             indexes,
             jnp.asarray(states),
             jnp.asarray(stream.astype(np.uint16)),
             jnp.asarray(esc_padded),
             self._cdf_flat,
-            self._decode_lut(),
+            jnp.zeros(1, jnp.int16) if use_p else self._decode_lut(),
             self._max_values,
             self._offsets,
             self._max_len,
             M,
             K,
             n_esc > 0,
+            use_pallas=use_p,
         )
 
     # -- decode -----------------------------------------------------------

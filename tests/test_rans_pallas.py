@@ -1,0 +1,96 @@
+"""Pallas lane-rANS kernels: bit-exactness vs the lax.scan state machine
+(interpret mode on CPU) at the scan level and through the LaneCoder
+container path (bytes must be identical — format v2 is locked)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cra5_tpu.coder import rans_tpu as rt
+from cra5_tpu.coder.rans_pallas import (
+    encode_scan_pallas,
+    set_pallas_rans,
+    use_pallas_scan,
+)
+from cra5_tpu.coder.rans_tpu import LaneCoder
+
+from test_rans import make_table, sample_symbols
+
+
+@pytest.mark.parametrize("M,K", [(13, 256), (7, 1024), (29, 128), (5, 512)])
+def test_encode_scan_bit_exact(rng, M, K):
+    freqs = rng.integers(1, 60000, (M, K)).astype(np.int32)
+    starts = rng.integers(0, 5000, (M, K)).astype(np.int32)
+    m, s = rt._division_magic(freqs.reshape(-1))
+    args = (
+        jnp.zeros((M, K), jnp.int32),
+        jnp.asarray(starts),
+        jnp.asarray(freqs),
+        jnp.asarray(m.reshape(M, K)),
+        jnp.asarray(s.reshape(M, K).astype(np.int32)),
+    )
+    x0, e0, w0 = rt._encode_scan(*args, M)
+    x1, e1, w1 = encode_scan_pallas(*args, M, interpret=True)
+    assert np.array_equal(x0, x1)
+    assert np.array_equal(e0, e1)
+    # non-emitted word slots are don't-care; compare under the mask
+    assert np.array_equal(np.where(e0, w0, 0), np.where(np.asarray(e1), w1, 0))
+
+
+def test_lane_coder_container_identical(rng):
+    """Same container bytes from both scan implementations, and the
+    stream decodes (Pallas encode -> lax.scan decode interop)."""
+    table = make_table(rng, ncdfs=6)
+    sym, idx = sample_symbols(rng, table, 3000)
+    coder = LaneCoder(table, num_lanes=128)
+    base = coder.encode(sym, idx)
+    set_pallas_rans("on")
+    try:
+        assert use_pallas_scan(128)
+        data = coder.encode(sym, idx)
+    finally:
+        set_pallas_rans("auto")
+    assert data == base
+    out = coder.decode(data, idx)
+    assert np.array_equal(out, sym)
+
+
+def test_decode_to_device_pallas(rng):
+    """decode_to_device routed through the Pallas binary-search kernel
+    (mode 'on', interpret on CPU) matches the host decode, escapes
+    included."""
+    table = make_table(rng, ncdfs=5)
+    sym, idx = sample_symbols(rng, table, 2500, escape_frac=0.05)
+    coder = LaneCoder(table, num_lanes=128)
+    data = coder.encode(sym, idx)
+    set_pallas_rans("on")
+    try:
+        assert coder._pallas_decode_ok(128, 4096)
+        out = coder.decode_to_device(data, jnp.asarray(idx))
+    finally:
+        set_pallas_rans("auto")
+    assert np.array_equal(np.asarray(out), sym)
+
+
+def test_decode_scan_parity_full_pipeline(rng):
+    """Pallas and lax.scan decodes of the same container agree bit-for-bit
+    through upload_batch/decode_uploaded_batch."""
+    table = make_table(rng, ncdfs=3)
+    sym, idx = sample_symbols(rng, table, 1500, escape_frac=0.0)
+    coder = LaneCoder(table, num_lanes=256)
+    data = coder.encode(sym, idx)
+    idx_b = jnp.asarray(idx)[None]
+    base = coder.decode_uploaded_batch(coder.upload_batch([data]), idx_b)
+    set_pallas_rans("on")
+    try:
+        out = coder.decode_uploaded_batch(coder.upload_batch([data]), idx_b)
+    finally:
+        set_pallas_rans("auto")
+    assert np.array_equal(np.asarray(out), np.asarray(base))
+
+
+def test_mode_validation():
+    with pytest.raises(ValueError):
+        set_pallas_rans("sometimes")
+    set_pallas_rans("auto")
+    assert not use_pallas_scan(100)  # not a multiple of 128
