@@ -99,10 +99,19 @@ def _lane_view(K: int) -> tuple[int, int]:
     return R, K // R
 
 
-def _encode_step_kernel(starts_ref, freqs_ref, m_ref, s_ref,
-                        states_ref, emit_ref, words_ref, x_ref):
+def _encode_step_kernel(starts_ref, freqs_ref, states_ref, emit_ref,
+                        words_ref, x_ref):
     """One scan step (one grid iteration, reverse order): renormalize,
-    then push the symbol into each lane state."""
+    then push the symbol into each lane state.
+
+    The quotient q = x // freq is computed with an f32 reciprocal and a
+    ±1 integer correction instead of the lax.scan path's pre-gathered
+    Granlund-Montgomery constants: after renorm x < freq << 16, so
+    q < 2**16 is exactly representable in f32 and the combined rounding
+    error of (x -> f32) * (1/freq) is < 0.05 — one correction step each
+    way restores the exact integer quotient. This drops two of the four
+    per-symbol table gathers from the encode prep (XLA DCE removes them
+    once the kernel stops consuming the magic operands)."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -115,11 +124,25 @@ def _encode_step_kernel(starts_ref, freqs_ref, m_ref, s_ref,
     words_ref[0] = (x & 0xFFFF).astype(jnp.uint16)
     emit_ref[0] = emit.astype(jnp.uint8)
     x = jnp.where(emit, x >> PRECISION, x)
-    m = m_ref[0]
-    q0 = _mulhi32(m, x)
-    q = (((x - q0) >> 1) + q0) >> s_ref[0].astype(jnp.uint32)
-    q = jnp.where(freq == 1, x, q)
-    r = x - q * freq
+    f_f = freqs_ref[0].astype(jnp.float32)
+    inv = 1.0 / f_f
+    # one Newton-Raphson step: even if the hardware lowers / to a fast
+    # approximate reciprocal (rel err up to ~2^-12), this refines it to
+    # ~2^-24 so the +-1 correction below provably restores exactness
+    inv = inv * (2.0 - f_f * inv)
+    # uint32 -> f32 via 16-bit halves through int32 (both halves fit in
+    # int32, and Mosaic has no direct uint32 -> f32 cast)
+    x_f = (x >> 16).astype(jnp.int32).astype(jnp.float32) * 65536.0 + (
+        x & 0xFFFF
+    ).astype(jnp.int32).astype(jnp.float32)
+    q = (x_f * inv).astype(jnp.int32).astype(jnp.uint32)
+    r = x - q * freq  # wraps past 2**31 iff q was one too big
+    too_big = (r > jnp.uint32(0x80000000)).astype(jnp.uint32)
+    q = q - too_big
+    r = r + freq * too_big
+    too_small = (r >= freq).astype(jnp.uint32)
+    q = q + too_small
+    r = r - freq * too_small
     x_ref[...] = (q << PRECISION) + r + starts_ref[0].astype(jnp.uint32)
 
     @pl.when(t == pl.num_programs(0) - 1)
@@ -131,10 +154,11 @@ def _encode_step_kernel(starts_ref, freqs_ref, m_ref, s_ref,
 def encode_scan_pallas(bins, starts, freqs, magic_m, magic_s, num_steps,
                        interpret=None):
     """Drop-in replacement for ``rans_tpu._encode_scan``: inputs (M, K)
-    step-major int32 (magic_m uint32); returns (final_states (K,) uint32,
-    emit (M, K) bool, words (M, K) uint16). ``bins`` is unused (the
-    tables are pre-gathered) and kept for signature parity."""
-    del bins
+    step-major int32; returns (final_states (K,) uint32, emit (M, K)
+    bool, words (M, K) uint16). ``bins``/``magic_m``/``magic_s`` are
+    unused (tables pre-gathered; division via in-kernel f32 reciprocal)
+    and kept for signature parity — XLA DCEs their producers."""
+    del bins, magic_m, magic_s
     if interpret is None:
         interpret = jax.default_backend() == "cpu"  # Mosaic needs real TPU
     M, K = starts.shape
@@ -147,7 +171,7 @@ def encode_scan_pallas(bins, starts, freqs, magic_m, magic_s, num_steps,
     states, emit, words = pl.pallas_call(
         _encode_step_kernel,
         grid=(M,),
-        in_specs=[row_spec() for _ in range(4)],
+        in_specs=[row_spec() for _ in range(2)],
         out_specs=(
             pl.BlockSpec((R, Kd), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, Kd), rev, memory_space=pltpu.VMEM),
@@ -163,8 +187,6 @@ def encode_scan_pallas(bins, starts, freqs, magic_m, magic_s, num_steps,
     )(
         starts.reshape(shape3),
         freqs.reshape(shape3),
-        magic_m.reshape(shape3),
-        magic_s.reshape(shape3),
     )
     return states.reshape(K), emit.reshape(M, K).astype(bool), words.reshape(M, K)
 
