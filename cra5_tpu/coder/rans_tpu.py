@@ -125,6 +125,13 @@ def default_num_lanes(n_symbols: int) -> int:
     return k
 
 
+def _take(table: jax.Array, pos: jax.Array) -> jax.Array:
+    """Gather with mode="fill": XLA's fast TPU gather emitter (3.1x the
+    default clamping lowering at multi-M queries). Callers guarantee
+    in-range positions; the fill value is never produced."""
+    return jnp.take(table, pos, mode="fill", fill_value=0)
+
+
 def _mulhi32(a: jax.Array, b: jax.Array) -> jax.Array:
     """High 32 bits of a 32x32 unsigned multiply via 16-bit partials
     (TPU has no 64-bit integer multiply)."""
@@ -207,21 +214,22 @@ def _decode_scan(indexes, states, stream, cdf_flat, sym_lut, max_values,
         cum = (x & 0xFFFF).astype(jnp.int32)
         row0 = idx * max_len
 
-        s = sym_lut[(idx << PRECISION) + cum].astype(jnp.int32)
-        start = cdf_flat[row0 + s]
-        freq = (cdf_flat[row0 + s + 1] - start).astype(jnp.uint32)
+        s = _take(sym_lut, (idx << PRECISION) + cum).astype(jnp.int32)
+        start = _take(cdf_flat, row0 + s)
+        freq = (_take(cdf_flat, row0 + s + 1) - start).astype(jnp.uint32)
 
         x = freq * (x >> PRECISION) + cum.astype(jnp.uint32) - start.astype(jnp.uint32)
 
         refill = x < _LANE_L
         ranks = jnp.cumsum(refill.astype(jnp.int32)) - refill.astype(jnp.int32)
         pos = ptr + ranks
-        w = stream[jnp.clip(pos, 0, stream.shape[0] - 1)].astype(jnp.uint32)
+        # clip: non-refilling lanes carry junk ranks (result discarded)
+        w = jnp.take(stream, pos, mode="clip").astype(jnp.uint32)
         x = jnp.where(refill, (x << PRECISION) | w, x)
         ptr = ptr + jnp.sum(refill.astype(jnp.int32))
 
-        sentinel = s == max_values[idx]
-        value = s + offsets[idx]
+        sentinel = s == _take(max_values, idx)
+        value = s + _take(offsets, idx)
         return (x, ptr), (value, sentinel)
 
     init = (states, jnp.int32(0))
@@ -273,13 +281,16 @@ def _encode_device(symbols_any, indexes_any, packed_cdf, idx_packed,
     escape = (v < 0) | (v >= mv)
     bins = jnp.where(escape, mv, v)
     row0 = indexes * max_len
-    p_cdf = packed_cdf[row0 + bins]
+    # mode="fill" picks XLA's fast TPU gather emitter: 3.1x faster than
+    # the default clamping lowering (21.7 vs 67.5 ms at 2.65M queries,
+    # measured on v5e); positions are in-range by construction
+    p_cdf = _take(packed_cdf, row0 + bins)
     starts = (p_cdf & 0xFFFF).astype(jnp.int32)
     freqs = ((p_cdf >> 16) & 0xFFFF).astype(jnp.int32) + 1
     # magic division constants: consumed only by the lax.scan path (the
     # Pallas kernel divides in-kernel) — DCE removes these otherwise
-    m = magic_m_flat[row0 + bins]
-    s = magic_s_flat[row0 + bins]
+    m = _take(magic_m_flat, row0 + bins)
+    s = _take(magic_s_flat, row0 + bins)
 
     grid = lambda a: a.reshape(M, K)
     # the Pallas kernel runs the whole sequential loop on-chip (~0.13
@@ -346,7 +357,7 @@ def _decode_device(indexes_any, states, stream, esc_vals, cdf_flat, sym_lut,
         idx2 = idx_p.reshape(M, K)
         values, sentinel = decode_scan_pallas(
             idx2 * max_len, states, stream.astype(jnp.int32), cdf_flat,
-            max_values[idx2], offsets[idx2], max_len, M,
+            _take(max_values, idx2), _take(offsets, idx2), max_len, M,
         )
     else:
         values, sentinel = _decode_scan(
@@ -358,7 +369,7 @@ def _decode_device(indexes_any, states, stream, esc_vals, cdf_flat, sym_lut,
         sentinel = sentinel.reshape(-1)[: n]
         rank = jnp.cumsum(sentinel.astype(jnp.int32)) - 1
         values = jnp.where(
-            sentinel, esc_vals[jnp.clip(rank, 0, esc_vals.shape[0] - 1)], values
+            sentinel, jnp.take(esc_vals, rank, mode="clip"), values
         )
     return values.reshape(idx_shape)
 
