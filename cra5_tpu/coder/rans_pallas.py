@@ -31,6 +31,7 @@ import functools
 import os
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -189,6 +190,129 @@ def encode_scan_pallas(bins, starts, freqs, magic_m, magic_s, num_steps,
         freqs.reshape(shape3),
     )
     return states.reshape(K), emit.reshape(M, K).astype(bool), words.reshape(M, K)
+
+
+def _make_rowplan_decode_kernel(L: int, NR: int, K: int):
+    def kernel(states_ref, stream_ref, tri_ref,
+               rows_ref, sel_ref, mv_ref, off_ref,
+               values_ref, sentinel_ref,
+               x_ref, ptr_ref):
+        """One decode step with NO vector gathers — usable on Mosaic
+        versions without dynamic-gather support (unlike the binary-search
+        kernel above). Requires a caller-provided row plan: each step's
+        lanes draw from at most NR distinct cdf rows (true for
+        channel-broadcast index grids, i.e. every EntropyBottleneck
+        z-stream with K <= H*W). Symbol lookup is a vectorized compare
+        against the (K, L) selected-row block; refill ranks come from a
+        triangular MXU matmul; refill words from a scalar-offset dynamic
+        slice of the stream expanded through a one-hot matmul. Lanes ride
+        as (K, 1) columns."""
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            x_ref[...] = states_ref[...]
+            ptr_ref[0] = 0
+
+        x = x_ref[...]  # (K, 1) uint32
+        cum = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        sel = sel_ref[0]  # (K, 1) int32 in [0, NR)
+        rows = rows_ref[0]  # (NR, L) int32, padded with 2**16
+        r = rows[NR - 1 : NR]
+        for j in range(NR - 2, -1, -1):  # select each lane's row
+            r = jnp.where(sel == j, rows[j : j + 1], r)  # (K, L)
+        le = r <= cum  # (K, L); cum < 2**16 so padding never selects
+        s = jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True) - 1
+        start = jnp.max(r * le.astype(jnp.int32), axis=1, keepdims=True)
+        nxt = jnp.min(
+            jnp.where(le, jnp.int32(1 << 17), r), axis=1, keepdims=True
+        )
+        freq = (nxt - start).astype(jnp.uint32)
+
+        x = freq * (x >> PRECISION) + cum.astype(jnp.uint32) - start.astype(
+            jnp.uint32
+        )
+
+        refill = x < _LANE_L  # (K, 1)
+        rf = refill.astype(jnp.float32)
+        inclusive = jax.lax.dot_general(
+            tri_ref[...], rf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, 1) inclusive prefix counts (exact: counts <= K < 2**24)
+        ranks = (inclusive - rf).astype(jnp.int32)
+        chunk = stream_ref[pl.ds(ptr_ref[0], K), :].astype(jnp.float32)
+        onehot = (
+            ranks == jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        ).astype(jnp.float32)
+        w = jax.lax.dot_general(
+            onehot, chunk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).astype(jnp.uint32)
+        x_ref[...] = jnp.where(refill, (x << PRECISION) | w, x)
+        ptr_ref[0] = ptr_ref[0] + jnp.sum(refill.astype(jnp.int32))
+
+        values_ref[0] = s + off_ref[0]
+        sentinel_ref[0] = (s == mv_ref[0]).astype(jnp.uint8)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "interpret")
+)
+def decode_rowplan_pallas(rows, sel, states, stream, mv, off,
+                          num_steps, interpret=None):
+    """Gather-free Pallas decode for row-planned streams. ``rows`` is
+    (M, NR, L) int32 (the <=NR padded cdf rows each step needs), ``sel``
+    (M, K) int32 selects each lane's row, ``mv``/``off`` (M, K) int32 are
+    the pre-gathered max_values/offsets, ``states`` (K,) uint32,
+    ``stream`` (W,) int32 padded so W >= n_words + K. Returns
+    (values (M, K) int32, sentinel (M, K) bool)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # Mosaic needs real TPU
+    M, NR, L = rows.shape
+    K = sel.shape[1]
+    assert M == num_steps
+    col = lambda a: a.reshape(M, K, 1)
+    fwd = lambda t: (t, 0, 0)
+    tri = jnp.asarray(
+        np.tril(np.ones((K, K), np.float32))
+    )
+    values, sentinel = pl.pallas_call(
+        _make_rowplan_decode_kernel(L, NR, K),
+        grid=(M,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # states (K, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # stream (W, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri (K, K)
+            pl.BlockSpec((1, NR, L), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), fwd, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K, 1), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), fwd, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, K, 1), jnp.int32),
+            jax.ShapeDtypeStruct((M, K, 1), jnp.uint8),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, 1), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        states.reshape(K, 1),
+        stream.reshape(-1, 1),
+        tri,
+        rows,
+        col(sel),
+        col(mv),
+        col(off),
+    )
+    return values.reshape(M, K), sentinel.reshape(M, K).astype(bool)
 
 
 def _make_decode_kernel(n_probes: int, max_len: int):

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import functools
 import struct
-from typing import Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -336,6 +336,45 @@ def _slicer(size: int):
     return jax.jit(lambda a: jax.lax.slice(a, (0,), (size,)))
 
 
+@functools.partial(jax.jit, static_argnames=("M", "K", "has_esc"))
+def _decode_rowplan_device(indexes_any, states, stream, esc_vals, cdf_2d,
+                           max_values, offsets, M, K, has_esc):
+    """Gather-free Pallas decode for channel-broadcast index grids (every
+    EB z-stream with K <= H*W): per scan step the lanes draw from at most
+    {first, max, pad-0} = 3 distinct cdf rows, so the kernel can compare
+    against pre-gathered rows instead of gathering per lane (which this
+    Mosaic version cannot lower). See rans_pallas.decode_rowplan_pallas."""
+    from .rans_pallas import decode_rowplan_pallas
+
+    idx_shape = indexes_any.shape
+    idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
+    n = idx_flat.shape[0]
+    pad = M * K - n
+    idx_p = jnp.pad(idx_flat, (0, pad)) if pad else idx_flat
+    idx2 = idx_p.reshape(M, K)
+    c0 = idx2[:, 0]
+    c1 = jnp.max(idx2, axis=1)
+    ids = jnp.stack([c0, c1, jnp.zeros_like(c0)], axis=1)  # (M, 3)
+    rows = jnp.take(cdf_2d, ids, axis=0, mode="fill", fill_value=0)
+    sel = jnp.where(
+        idx2 == c0[:, None], 0, jnp.where(idx2 == c1[:, None], 1, 2)
+    )
+    mv = _take(max_values, idx2)
+    off = _take(offsets, idx2)
+    stream_p = jnp.pad(stream.astype(jnp.int32), (0, K))
+    values, sentinel = decode_rowplan_pallas(
+        rows, sel, states, stream_p, mv, off, M
+    )
+    values = values.reshape(-1)[:n]
+    if has_esc:
+        sentinel = sentinel.reshape(-1)[:n]
+        rank = jnp.cumsum(sentinel.astype(jnp.int32)) - 1
+        values = jnp.where(
+            sentinel, jnp.take(esc_vals, rank, mode="clip"), values
+        )
+    return values.reshape(idx_shape)
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_len", "M", "K", "has_esc", "use_pallas")
 )
@@ -383,6 +422,7 @@ class LaneCoder:
         self.num_lanes = num_lanes
         self._search = _padded_search_table(table)
         self._cdf_flat = jnp.asarray(self._search.reshape(-1))
+        self._cdf_2d = jnp.asarray(self._search)
         self._max_values = jnp.asarray((table.cdf_length - 2).astype(np.int32))
         self._offsets = jnp.asarray(table.offset.astype(np.int32))
         self._max_len = int(self._search.shape[1])
@@ -415,6 +455,18 @@ class LaneCoder:
                 jnp.asarray(pad(s, np.int32(0))),
             )
         return self._magic
+
+    def _rowplan_ok(self, K: int, per_index: int) -> bool:
+        """Route a channel-broadcast decode through the gather-free
+        Pallas row-plan kernel? ``per_index`` is the caller's symbols-
+        per-channel count: a K-lane step spans at most 2 channels only
+        when K <= per_index. Cost scales with K**2 (tri/one-hot matmuls)
+        and max_len (row compares) — both tiny for EB z-streams."""
+        from . import rans_pallas as rp  # live module ref: the mode mutates
+
+        if rp._PALLAS_MODE == "off" or K > 512 or K > per_index or self._max_len > 160:
+            return False
+        return rp._PALLAS_MODE == "on" or jax.default_backend() in ("tpu", "axon")
 
     def _pallas_decode_ok(self, K: int, stream_len: int) -> bool:
         """Route this decode through the Pallas kernel? Requires the VPU
@@ -487,31 +539,59 @@ class LaneCoder:
         )
         return (n, K, M) + out
 
+    # speculative finalize: last bucketed (words, escapes) sizes per
+    # (n, K) stream shape. Production encodes a stream of same-shaped
+    # timesteps whose coded sizes move slowly, so the previous call's
+    # buckets almost always fit — letting counts and buffers ride ONE
+    # batched device_get instead of two (each roundtrip costs a ~27 ms
+    # tunnel RTT). A miss (count exceeds the speculated bucket) refetches
+    # just the short buffers; correctness never depends on the hint.
+    _bucket_hint: Dict[Tuple[int, int], Tuple[int, int]] = {}
+
     @staticmethod
     def encode_finalize_many(handles) -> list:
-        """Assemble container bytes for several dispatched encodes with two
-        batched host roundtrips total: one for all counts, one for all
-        (state, sliced-stream, sliced-escape) buffers."""
+        """Assemble container bytes for several dispatched encodes with
+        one batched host roundtrip (two when a size hint is missing or
+        proves too small): counts and (state, sliced-stream,
+        sliced-escape) buffers."""
         empty = struct.pack("<IIIII", MAGIC, 0, 1, 0, 0) + struct.pack("<I", 1 << 16)
         live = [(i, h) for i, h in enumerate(handles) if h is not None]
         results = [empty] * len(handles)
         if not live:
             return results
-        counts = jax.device_get(
-            tuple((h[6], h[7]) for _, h in live)  # (n_words, n_esc) pairs
+        hint = LaneCoder._bucket_hint
+        hints = [hint.get((h[0], h[1])) for _, h in live]
+        slice_wl = lambda h, w, e: (
+            h[3],
+            _slicer(min(w, h[2] * h[1]))(h[4]),
+            _slicer(min(e, h[2] * h[1]))(h[5]),
         )
-        sliced = []
-        for (_, h), (nw, ne) in zip(live, counts):
-            n, K, M = h[0], h[1], h[2]
-            sliced.append((
-                h[3],
-                _slicer(min(_bucket(max(int(nw), 1)), M * K))(h[4]),
-                _slicer(min(_bucket(max(int(ne), 1)), M * K))(h[5]),
+        if all(hints):
+            sliced = [slice_wl(h, hw, he) for (_, h), (hw, he) in zip(live, hints)]
+            counts, bufs = jax.device_get((
+                tuple((h[6], h[7]) for _, h in live), tuple(sliced)
             ))
-        bufs = jax.device_get(tuple(sliced))
+            bufs = list(bufs)
+            for j, ((_, h), (nw, ne), (hw, he)) in enumerate(
+                zip(live, counts, hints)
+            ):
+                full = h[2] * h[1]
+                if int(nw) > min(hw, full) or int(ne) > min(he, full):
+                    bufs[j] = jax.device_get(slice_wl(
+                        h, _bucket(max(int(nw), 1)), _bucket(max(int(ne), 1))
+                    ))
+        else:
+            counts = jax.device_get(
+                tuple((h[6], h[7]) for _, h in live)  # (n_words, n_esc) pairs
+            )
+            bufs = jax.device_get(tuple(
+                slice_wl(h, _bucket(max(int(nw), 1)), _bucket(max(int(ne), 1)))
+                for (_, h), (nw, ne) in zip(live, counts)
+            ))
         for (pos, h), (nw, ne), (states, stream, escs) in zip(live, counts, bufs):
             n, K = h[0], h[1]
             nw, ne = int(nw), int(ne)
+            hint[(n, K)] = (_bucket(max(nw, 1)), _bucket(max(ne, 1)))
             stream = np.asarray(stream[:nw], np.uint16)
             esc_val = np.asarray(escs[:ne], np.int32)
             header = struct.pack("<IIIII", MAGIC, n, K, ne, nw)
@@ -604,19 +684,26 @@ class LaneCoder:
             return one(indexes[0], states, stream, escs)[None]
         return jax.vmap(one)(indexes, states, stream, escs)
 
-    def decode_batch_to_device(self, datas, indexes) -> jax.Array:
+    def decode_batch_to_device(self, datas, indexes, row_plan=False) -> jax.Array:
         """Decode B same-shaped v2 streams with ONE vmapped scan; indexes is
-        (B, ...) device-resident. Counterpart of encode_dispatch_batch."""
+        (B, ...) device-resident. Counterpart of encode_dispatch_batch.
+        ``row_plan=True`` promises channel-broadcast (nondecreasing)
+        index grids, enabling the gather-free Pallas decode at B=1."""
         B = len(datas)
         if B == 1:
-            return self.decode_to_device(_unwrap_bytes(datas[0]), indexes[0])[None]
+            return self.decode_to_device(
+                _unwrap_bytes(datas[0]), indexes[0], row_plan=row_plan
+            )[None]
         n = int(np.prod(indexes.shape[1:]))
         return self.decode_uploaded_batch(self.upload_batch(datas, n), indexes)
 
-    def decode_to_device(self, data: bytes, indexes) -> jax.Array:
+    def decode_to_device(self, data: bytes, indexes, row_plan=False) -> jax.Array:
         """Decode a v2 stream against device-resident indexes; the decoded
         int32 symbols stay on device (feed them straight into the
-        synthesis transform). Escape values are scattered on device."""
+        synthesis transform). Escape values are scattered on device.
+        ``row_plan=True`` promises a channel-broadcast index grid (each
+        scan step's values within {step-first, step-max, 0}) and routes
+        through the gather-free Pallas kernel on TPU."""
         magic, n, K, n_esc, n_words = struct.unpack_from("<IIIII", data, 0)
         if magic != MAGIC:
             raise ValueError("not a CRX2 (format v2) stream")
@@ -634,6 +721,19 @@ class LaneCoder:
         esc_padded = np.pad(esc_val, (0, _bucket(max(n_esc, 1)) - n_esc))
 
         M = -(-n // K)
+        if row_plan and self._rowplan_ok(K, int(row_plan)):
+            return _decode_rowplan_device(
+                indexes,
+                jnp.asarray(states),
+                jnp.asarray(stream.astype(np.uint16)),
+                jnp.asarray(esc_padded),
+                self._cdf_2d,
+                self._max_values,
+                self._offsets,
+                M,
+                K,
+                n_esc > 0,
+            )
         use_p = self._pallas_decode_ok(K, len(stream))
         return _decode_device(
             indexes,

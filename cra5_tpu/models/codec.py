@@ -213,7 +213,9 @@ class ImageCodec(_CodecBase):
             full = (B, C, int(shape[0]), int(shape[1]))
             if self.coder == "v2":
                 idx = self._channel_indexes_dev(full)
-                y_sym = self._eb_coder.decode_batch_to_device(list(y_strings), idx)
+                y_sym = self._eb_coder.decode_batch_to_device(
+                    list(y_strings), idx, row_plan=full[2] * full[3]
+                )
             else:
                 idx = self._channel_indexes(full)
                 y_sym = jnp.asarray(
@@ -238,7 +240,9 @@ class ImageCodec(_CodecBase):
             # indexes don't exist yet, but its bytes do — see upload_batch)
             y_up = self._gc_coder.upload_batch(list(y_strings))
             z_idx = self._channel_indexes_dev(full_z)
-            z_sym = self._eb_coder.decode_batch_to_device(list(z_strings), z_idx)
+            z_sym = self._eb_coder.decode_batch_to_device(
+                list(z_strings), z_idx, row_plan=full_z[2] * full_z[3]
+            )
             scales, means = self._hyper_from_z(self.variables, z_sym)
             gc_idx = self._gc_index(scales)
             y_sym = self._gc_coder.decode_uploaded_batch(y_up, gc_idx)

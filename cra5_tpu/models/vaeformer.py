@@ -516,7 +516,10 @@ class VAEformerCodec:
             z_idx_dev = jnp.broadcast_to(
                 jnp.arange(C, dtype=jnp.int32)[None, :, None, None], full_z_shape
             )
-            z_sym = self._eb_coder.decode_batch_to_device(list(z_strings), z_idx_dev)
+            z_sym = self._eb_coder.decode_batch_to_device(
+                list(z_strings), z_idx_dev,
+                row_plan=full_z_shape[2] * full_z_shape[3],
+            )
             hz = self._scales_from_z(self.variables, z_sym, self._scale_table_dev)
             means, gc_idx = hz["means"], hz["gc_idx"]
             y_sym = self._gc_coder.decode_uploaded_batch(y_up, gc_idx)

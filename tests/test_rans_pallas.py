@@ -89,6 +89,56 @@ def test_decode_scan_parity_full_pipeline(rng):
     assert np.array_equal(np.asarray(out), np.asarray(base))
 
 
+def test_finalize_bucket_hint_miss_refetch(rng):
+    """The speculative finalize must survive a hint that's far too small:
+    first encode a near-zero-entropy stream (tiny word count), then a
+    high-escape stream of the same (n, K) — the refetch path must produce
+    a byte stream that decodes."""
+    table = make_table(rng, ncdfs=4)
+    n = 4000
+    coder = LaneCoder(table, num_lanes=128)
+    LaneCoder._bucket_hint.clear()
+    # low-entropy: all symbols sit in the most probable bin of index 0
+    pmf_peak = int(np.argmax(np.diff(table.quantized_cdf[0])))
+    sym0 = np.full(n, pmf_peak + table.offset[0], np.int32)
+    idx0 = np.zeros(n, np.int32)
+    d0 = coder.encode(sym0, idx0)
+    assert np.array_equal(coder.decode(d0, idx0), sym0)
+    # high-escape: same shape, hint from d0 is way too small for this
+    sym1, idx1 = sample_symbols(rng, table, n, escape_frac=0.9)
+    d1 = coder.encode(sym1, idx1)
+    assert np.array_equal(coder.decode(d1, idx1), sym1)
+    # and the hit path: re-encode the same data with a now-correct hint
+    d2 = coder.encode(sym1, idx1)
+    assert d2 == d1
+
+
+@pytest.mark.parametrize("C,HW,K", [(16, 81, 32), (7, 40, 16), (4, 200, 128)])
+def test_rowplan_decode_channel_broadcast(rng, C, HW, K):
+    """The gather-free row-plan kernel must match the host decode on
+    channel-broadcast index grids (every EB z-stream), escapes and
+    padded tail included."""
+    table = make_table(rng, ncdfs=C)
+    idx = np.repeat(np.arange(C, dtype=np.int32), HW)
+    n = idx.size
+    mv = table.cdf_length[idx] - 2
+    bins = (rng.random(n) * mv).astype(np.int32)
+    sym = (bins + table.offset[idx]).astype(np.int32)
+    esc = rng.random(n) < 0.03
+    sym = np.where(esc, sym + rng.integers(-200, 200, size=n), sym).astype(np.int32)
+    coder = LaneCoder(table, num_lanes=K)
+    data = coder.encode(sym, idx)
+    base = coder.decode(data, idx)
+    assert np.array_equal(base, sym)
+    set_pallas_rans("on")
+    try:
+        assert coder._rowplan_ok(K, HW)
+        out = coder.decode_to_device(data, jnp.asarray(idx), row_plan=HW)
+    finally:
+        set_pallas_rans("auto")
+    assert np.array_equal(np.asarray(out), sym)
+
+
 def test_mode_validation():
     with pytest.raises(ValueError):
         set_pallas_rans("sometimes")
