@@ -17,9 +17,11 @@ format v2 is unchanged and the two implementations interoperate.
 
 Encode semantics mirror ``rans_tpu._encode_scan`` exactly (32-bit lane
 states, 16-bit renorm words, LIFO step order via reversed grid index
-map, Granlund-Montgomery magic division). The decode counterpart
-mirrors ``rans_tpu._decode_scan`` (dense cum->bin LUT gather + stream
-refill with an in-kernel prefix sum).
+map); division is an in-kernel f32 reciprocal with exact integer
+correction instead of the lax.scan path's magic constants. The decode
+counterparts mirror ``rans_tpu._decode_scan``: a generic binary-search
+kernel (gated off until Mosaic supports vector gather) and a gather-free
+row-plan kernel for channel-broadcast index grids.
 
 No reference counterpart: the reference's coder is a serial host loop
 (/root/reference/cra5/models/compressai/cpp_exts/rans/rans_interface.cpp).
@@ -73,20 +75,6 @@ def use_pallas_decode(K: int) -> bool:
 PRECISION = 16
 _LANE_L = 1 << 16  # lower bound of the 32-bit lane state (plain int:
 # jnp constants at module scope become captured tracers in pallas kernels)
-
-
-def _mulhi32(a, b):
-    """High 32 bits of a 32x32 unsigned multiply via 16-bit partials
-    (no 64-bit integer multiply on the VPU)."""
-    mask = jnp.uint32(0xFFFF)
-    ah, al = a >> 16, a & mask
-    bh, bl = b >> 16, b & mask
-    albl = al * bl
-    mid1 = ah * bl
-    mid = mid1 + al * bh  # may wrap mod 2**32
-    carry = (mid < mid1).astype(jnp.uint32)
-    t = (albl >> 16) + (mid & mask)
-    return ah * bh + (mid >> 16) + (carry << 16) + (t >> 16)
 
 
 def _lane_view(K: int) -> tuple[int, int]:
@@ -235,19 +223,43 @@ def _make_rowplan_decode_kernel(L: int, NR: int, K: int):
 
         refill = x < _LANE_L  # (K, 1)
         rf = refill.astype(jnp.float32)
+        # HIGHEST precision on the matmuls: the TPU default pass
+        # truncates f32 operands to bf16 — prefix counts up to K would
+        # round above 256, and stream words up to 65535 would round to
+        # the nearest multiple of 256, silently corrupting lane states
         inclusive = jax.lax.dot_general(
             tri_ref[...], rf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (K, 1) inclusive prefix counts (exact: counts <= K < 2**24)
         ranks = (inclusive - rf).astype(jnp.int32)
-        chunk = stream_ref[pl.ds(ptr_ref[0], K), :].astype(jnp.float32)
-        onehot = (
-            ranks == jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        # refill words live in a (Wr, 128) row grid (a (W, 1) column
+        # would tile-pad to 128 lanes and flood VMEM 128x). Lane i needs
+        # word pos_i = ptr + rank_i; slice the <= NROWS rows the step can
+        # touch, select each lane's row with a one-hot matmul, then its
+        # column with a mask-reduce (single nonzero term — exact in f32).
+        pos = ptr_ref[0] + ranks  # (K, 1); junk lanes stay in-bounds
+        r0 = ptr_ref[0] >> 7
+        nrows = K // 128 + 2
+        rows128 = stream_ref[pl.ds(r0, nrows), :].astype(jnp.float32)
+        oh_row = (
+            (pos >> 7) - r0
+            == jax.lax.broadcasted_iota(jnp.int32, (K, nrows), 1)
         ).astype(jnp.float32)
-        w = jax.lax.dot_general(
-            onehot, chunk, (((1,), (0,)), ((), ())),
+        lane_rows = jax.lax.dot_general(
+            oh_row, rows128, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.int32).astype(jnp.uint32)
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (K, 128)
+        col_mask = (
+            (pos & 127)
+            == jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+        ).astype(jnp.float32)
+        w = (
+            jnp.sum(lane_rows * col_mask, axis=1, keepdims=True)
+            .astype(jnp.int32)
+            .astype(jnp.uint32)
+        )
         x_ref[...] = jnp.where(refill, (x << PRECISION) | w, x)
         ptr_ref[0] = ptr_ref[0] + jnp.sum(refill.astype(jnp.int32))
 
@@ -278,6 +290,13 @@ def decode_rowplan_pallas(rows, sel, states, stream, mv, off,
     tri = jnp.asarray(
         np.tril(np.ones((K, K), np.float32))
     )
+    # stream as a (Wr, 128) row grid — a (W, 1) column layout tile-pads
+    # to 128 lanes in VMEM (measured: a 45k-word stream OOM'd the 16MB
+    # scoped vmem). Guard rows cover the kernel's dynamic row slice.
+    nrows = K // 128 + 2
+    W = stream.shape[0]
+    Wr = -(-W // 128) + nrows
+    stream_grid = jnp.pad(stream, (0, Wr * 128 - W)).reshape(Wr, 128)
     values, sentinel = pl.pallas_call(
         _make_rowplan_decode_kernel(L, NR, K),
         grid=(M,),
@@ -305,7 +324,7 @@ def decode_rowplan_pallas(rows, sel, states, stream, mv, off,
         interpret=interpret,
     )(
         states.reshape(K, 1),
-        stream.reshape(-1, 1),
+        stream_grid,
         tri,
         rows,
         col(sel),

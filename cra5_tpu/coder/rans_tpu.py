@@ -271,10 +271,15 @@ def _encode_device(symbols_any, indexes_any, packed_cdf, idx_packed,
     onehot = (
         indexes[:, None] == jnp.arange(ncdfs, dtype=jnp.int32)[None, :]
     ).astype(jnp.float32)
+    # HIGHEST precision: TPU's default matmul pass truncates f32 operands
+    # to bf16 (8-bit mantissa) — a packed low half like 65521 would round
+    # to 65536 and corrupt every offset
     mv_f = jnp.dot(onehot, (idx_packed >> 16).astype(jnp.float32),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     off_f = jnp.dot(onehot, (idx_packed & 0xFFFF).astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     mv = mv_f.astype(jnp.int32)
     off = (off_f.astype(jnp.int32) ^ 0x8000) - 0x8000  # sign-extend low half
     v = symbols - off
@@ -537,16 +542,20 @@ class LaneCoder:
             magic_m, magic_s, self._max_len, M, K,
             use_pallas=use_pallas_scan(K),
         )
-        return (n, K, M) + out
+        # trailing id(self): finalize keys its bucket hints per coder so
+        # two coders with same-shaped streams don't thrash each other
+        return (n, K, M) + out + (id(self),)
 
-    # speculative finalize: last bucketed (words, escapes) sizes per
-    # (n, K) stream shape. Production encodes a stream of same-shaped
-    # timesteps whose coded sizes move slowly, so the previous call's
-    # buckets almost always fit — letting counts and buffers ride ONE
-    # batched device_get instead of two (each roundtrip costs a ~27 ms
-    # tunnel RTT). A miss (count exceeds the speculated bucket) refetches
-    # just the short buffers; correctness never depends on the hint.
-    _bucket_hint: Dict[Tuple[int, int], Tuple[int, int]] = {}
+    # speculative finalize: last bucketed (words, escapes) sizes keyed by
+    # (coder, n, K). Production encodes a stream of same-shaped timesteps
+    # whose coded sizes move slowly, so the previous call's buckets
+    # almost always fit — letting counts and buffers ride ONE batched
+    # device_get instead of two (each roundtrip costs a ~27 ms tunnel
+    # RTT). A miss (count exceeds the speculated bucket) refetches just
+    # the short buffers (one extra batched device_get for all misses);
+    # correctness never depends on the hint. FIFO-capped against growth.
+    _bucket_hint: Dict[Tuple[int, int, int], Tuple[int, int]] = {}
+    _BUCKET_HINT_CAP = 512
 
     @staticmethod
     def encode_finalize_many(handles) -> list:
@@ -560,7 +569,8 @@ class LaneCoder:
         if not live:
             return results
         hint = LaneCoder._bucket_hint
-        hints = [hint.get((h[0], h[1])) for _, h in live]
+        hkey = lambda h: (h[8], h[0], h[1])
+        hints = [hint.get(hkey(h)) for _, h in live]
         slice_wl = lambda h, w, e: (
             h[3],
             _slicer(min(w, h[2] * h[1]))(h[4]),
@@ -572,14 +582,25 @@ class LaneCoder:
                 tuple((h[6], h[7]) for _, h in live), tuple(sliced)
             ))
             bufs = list(bufs)
-            for j, ((_, h), (nw, ne), (hw, he)) in enumerate(
-                zip(live, counts, hints)
-            ):
-                full = h[2] * h[1]
-                if int(nw) > min(hw, full) or int(ne) > min(he, full):
-                    bufs[j] = jax.device_get(slice_wl(
-                        h, _bucket(max(int(nw), 1)), _bucket(max(int(ne), 1))
-                    ))
+            missed = [
+                j
+                for j, ((_, h), (nw, ne), (hw, he)) in enumerate(
+                    zip(live, counts, hints)
+                )
+                if int(nw) > min(hw, h[2] * h[1])
+                or int(ne) > min(he, h[2] * h[1])
+            ]
+            if missed:  # one batched refetch covers every miss
+                refetched = jax.device_get(tuple(
+                    slice_wl(
+                        live[j][1],
+                        _bucket(max(int(counts[j][0]), 1)),
+                        _bucket(max(int(counts[j][1]), 1)),
+                    )
+                    for j in missed
+                ))
+                for j, buf in zip(missed, refetched):
+                    bufs[j] = buf
         else:
             counts = jax.device_get(
                 tuple((h[6], h[7]) for _, h in live)  # (n_words, n_esc) pairs
@@ -591,7 +612,9 @@ class LaneCoder:
         for (pos, h), (nw, ne), (states, stream, escs) in zip(live, counts, bufs):
             n, K = h[0], h[1]
             nw, ne = int(nw), int(ne)
-            hint[(n, K)] = (_bucket(max(nw, 1)), _bucket(max(ne, 1)))
+            if len(hint) >= LaneCoder._BUCKET_HINT_CAP and hkey(h) not in hint:
+                hint.pop(next(iter(hint)))
+            hint[hkey(h)] = (_bucket(max(nw, 1)), _bucket(max(ne, 1)))
             stream = np.asarray(stream[:nw], np.uint16)
             esc_val = np.asarray(escs[:ne], np.int32)
             header = struct.pack("<IIIII", MAGIC, n, K, ne, nw)
@@ -687,8 +710,9 @@ class LaneCoder:
     def decode_batch_to_device(self, datas, indexes, row_plan=False) -> jax.Array:
         """Decode B same-shaped v2 streams with ONE vmapped scan; indexes is
         (B, ...) device-resident. Counterpart of encode_dispatch_batch.
-        ``row_plan=True`` promises channel-broadcast (nondecreasing)
-        index grids, enabling the gather-free Pallas decode at B=1."""
+        ``row_plan=<symbols per channel>`` (an int, e.g. H*W) promises a
+        channel-broadcast (nondecreasing) index grid, enabling the
+        gather-free Pallas decode at B=1 when K <= that count."""
         B = len(datas)
         if B == 1:
             return self.decode_to_device(
@@ -701,9 +725,10 @@ class LaneCoder:
         """Decode a v2 stream against device-resident indexes; the decoded
         int32 symbols stay on device (feed them straight into the
         synthesis transform). Escape values are scattered on device.
-        ``row_plan=True`` promises a channel-broadcast index grid (each
-        scan step's values within {step-first, step-max, 0}) and routes
-        through the gather-free Pallas kernel on TPU."""
+        ``row_plan=<symbols per channel>`` (an int, e.g. H*W) promises a
+        channel-broadcast index grid (each scan step's values within
+        {step-first, step-max, 0}, guaranteed when K <= the count) and
+        routes through the gather-free Pallas kernel on TPU."""
         magic, n, K, n_esc, n_words = struct.unpack_from("<IIIII", data, 0)
         if magic != MAGIC:
             raise ValueError("not a CRX2 (format v2) stream")
