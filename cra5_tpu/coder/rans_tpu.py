@@ -200,25 +200,27 @@ def _pallas_encode_scan(bins, starts, freqs, magic_m, magic_s, num_steps):
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps",))
-def _decode_scan(indexes, states, stream, cdf_flat, sym_lut, max_values,
-                 offsets, max_len, num_steps):
-    """indexes: (M, K) int32; states: (K,) uint32; stream: (n_words,) uint16;
-    sym_lut: (ncdfs * 2**PRECISION,) int32 dense cum -> bin lookup (one
-    gather replaces the reference's linear scan / a 12-probe binary
-    search — SURVEY.md §7 hard part 7).
+def _decode_scan(indexes, states, stream, lut_state, lut_value, num_steps):
+    """indexes: (M, K) int32; states: (K,) uint32; stream: (n_words,) uint16.
+
+    The scan's cost on TPU is the per-step gather op count, so everything
+    the state update needs rides ONE packed LUT: ``lut_state`` is
+    (ncdfs * 2**PRECISION,) uint32 with entry ``(freq-1) << 16 |
+    (cum - start)`` keyed by (idx << 16) + cum — one gather replaces the
+    reference's linear scan plus the separate cdf start/freq lookups
+    (SURVEY.md §7 hard part 7). Decoded values never feed the recurrence,
+    so they resolve AFTER the scan in one vectorized gather of
+    ``lut_value`` ((value << 1) | is_escape_sentinel, int32) over the
+    recorded keys. Two in-loop gathers total (state LUT + stream refill).
     Returns (values (M, K) int32, sentinel (M, K) bool)."""
-    K = indexes.shape[1]
 
     def step(carry, idx):
         x, ptr = carry
         cum = (x & 0xFFFF).astype(jnp.int32)
-        row0 = idx * max_len
-
-        s = _take(sym_lut, (idx << PRECISION) + cum).astype(jnp.int32)
-        start = _take(cdf_flat, row0 + s)
-        freq = (_take(cdf_flat, row0 + s + 1) - start).astype(jnp.uint32)
-
-        x = freq * (x >> PRECISION) + cum.astype(jnp.uint32) - start.astype(jnp.uint32)
+        key = (idx << PRECISION) + cum
+        l1 = _take(lut_state, key)
+        freq = (l1 >> 16) + 1
+        x = freq * (x >> PRECISION) + (l1 & 0xFFFF)
 
         refill = x < _LANE_L
         ranks = jnp.cumsum(refill.astype(jnp.int32)) - refill.astype(jnp.int32)
@@ -227,16 +229,14 @@ def _decode_scan(indexes, states, stream, cdf_flat, sym_lut, max_values,
         w = jnp.take(stream, pos, mode="clip").astype(jnp.uint32)
         x = jnp.where(refill, (x << PRECISION) | w, x)
         ptr = ptr + jnp.sum(refill.astype(jnp.int32))
-
-        sentinel = s == _take(max_values, idx)
-        value = s + _take(offsets, idx)
-        return (x, ptr), (value, sentinel)
+        return (x, ptr), key
 
     init = (states, jnp.int32(0))
-    (_, _), (values, sentinel) = jax.lax.scan(
+    (_, _), keys = jax.lax.scan(
         step, init, indexes, length=num_steps, unroll=2
     )
-    return values, sentinel
+    l2 = _take(lut_value, keys)
+    return l2 >> 1, (l2 & 1) == 1
 
 
 @functools.partial(jax.jit, static_argnames=("max_len", "M", "K", "use_pallas"))
@@ -383,9 +383,9 @@ def _decode_rowplan_device(indexes_any, states, stream, esc_vals, cdf_2d,
 @functools.partial(
     jax.jit, static_argnames=("max_len", "M", "K", "has_esc", "use_pallas")
 )
-def _decode_device(indexes_any, states, stream, esc_vals, cdf_flat, sym_lut,
-                   max_values, offsets, max_len, M, K, has_esc,
-                   use_pallas=False):
+def _decode_device(indexes_any, states, stream, esc_vals, lut_state,
+                   lut_value, cdf_flat, max_values, offsets, max_len, M, K,
+                   has_esc, use_pallas=False):
     """Fully on-device decode incl. escape scatter — one dispatch."""
     idx_shape = indexes_any.shape
     idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
@@ -405,8 +405,7 @@ def _decode_device(indexes_any, states, stream, esc_vals, cdf_flat, sym_lut,
         )
     else:
         values, sentinel = _decode_scan(
-            idx_p.reshape(M, K), states, stream, cdf_flat, sym_lut,
-            max_values, offsets, max_len, M,
+            idx_p.reshape(M, K), states, stream, lut_state, lut_value, M,
         )
     values = values.reshape(-1)[: n]
     if has_esc:
@@ -485,18 +484,26 @@ class LaneCoder:
             (int(self._cdf_flat.size) + stream_len) * 4 <= (6 << 20)
         )
 
-    def _decode_lut(self):
-        """(ncdfs, 2**PRECISION) int16: bin of each cum value — one gather
-        per decoded symbol instead of a binary search."""
+    def _decode_luts(self):
+        """Dense cum-keyed decode tables, one entry per (index, cum):
+        lut_state uint32 ``(freq-1) << 16 | (cum - start)`` (everything
+        the scan's state update needs in ONE gather) and lut_value int32
+        ``(symbol_value << 1) | is_sentinel`` (resolved post-scan)."""
         if self._sym_lut is None:
             n = self.table.num_indexes
-            lut = np.empty((n, 1 << PRECISION), np.int16)
-            cums = np.arange(1 << PRECISION, dtype=np.int32)
+            ls = np.empty((n, 1 << PRECISION), np.uint32)
+            lv = np.empty((n, 1 << PRECISION), np.int32)
+            cums = np.arange(1 << PRECISION, dtype=np.int64)
             for k in range(n):
                 L = int(self.table.cdf_length[k])
-                row = self.table.quantized_cdf[k, :L]
-                lut[k] = (np.searchsorted(row, cums, side="right") - 1).astype(np.int16)
-            self._sym_lut = jnp.asarray(lut.reshape(-1))
+                row = self.table.quantized_cdf[k, :L].astype(np.int64)
+                s = np.searchsorted(row, cums, side="right") - 1
+                start = row[s]
+                freq = row[s + 1] - start
+                ls[k] = (((freq - 1) << 16) | (cums - start)).astype(np.uint32)
+                val = s + int(self.table.offset[k])
+                lv[k] = ((val << 1) | (s == L - 2)).astype(np.int32)
+            self._sym_lut = (jnp.asarray(ls.reshape(-1)), jnp.asarray(lv.reshape(-1)))
         return self._sym_lut
 
     # -- encode -----------------------------------------------------------
@@ -694,11 +701,12 @@ class LaneCoder:
         # state machine (batching a Pallas grid is not worth the risk for
         # a path that per-sample dispatch already beats on TPU)
         use_p = kind == "v2x1" and self._pallas_decode_ok(K, int(stream.shape[-1]))
-        lut = jnp.zeros(1, jnp.int16) if use_p else self._decode_lut()
+        dummy = (jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.int32))
+        ls, lv = dummy if use_p else self._decode_luts()
 
         def one(idx, st, sw, ev):
             return _decode_device(
-                idx, st, sw, ev, self._cdf_flat, lut,
+                idx, st, sw, ev, ls, lv, self._cdf_flat,
                 self._max_values, self._offsets, self._max_len, M, K, has_esc,
                 use_pallas=use_p,
             )
@@ -760,13 +768,16 @@ class LaneCoder:
                 n_esc > 0,
             )
         use_p = self._pallas_decode_ok(K, len(stream))
+        dummy = (jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.int32))
+        ls, lv = dummy if use_p else self._decode_luts()
         return _decode_device(
             indexes,
             jnp.asarray(states),
             jnp.asarray(stream.astype(np.uint16)),
             jnp.asarray(esc_padded),
+            ls,
+            lv,
             self._cdf_flat,
-            jnp.zeros(1, jnp.int16) if use_p else self._decode_lut(),
             self._max_values,
             self._offsets,
             self._max_len,
@@ -798,15 +809,13 @@ class LaneCoder:
 
         if n_words == 0:
             stream = np.zeros(1, np.uint16)  # never read; keeps gather well-formed
+        ls, lv = self._decode_luts()
         values, sentinel = _decode_scan(
             jnp.asarray(idx_p.reshape(M, K)),
             jnp.asarray(states),
             jnp.asarray(stream.astype(np.uint16)),
-            self._cdf_flat,
-            self._decode_lut(),
-            self._max_values,
-            self._offsets,
-            self._max_len,
+            ls,
+            lv,
             M,
         )
         values, sentinel = jax.device_get((values, sentinel))
