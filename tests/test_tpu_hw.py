@@ -1,0 +1,66 @@
+"""Hardware-only coder correctness: these tests run ONLY on a real TPU
+backend (skipped on CPU, where conftest forces jax_platforms=cpu and the
+Pallas kernels run in interpret mode with exact-f32 matmuls).
+
+Why they exist: the CPU suite cannot catch TPU-only corruption classes —
+Mosaic lowering differences, default-precision matmul truncation to bf16
+(a packed offset like 65521 rounds to 65536), or VMEM layout padding.
+Run manually on a chip:  JAX_PLATFORMS='' python -m pytest tests/test_tpu_hw.py
+(see also the round-2 review finding that motivated this file)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cra5_tpu.coder.rans_tpu import LaneCoder
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="hardware-only: exercises Mosaic lowering + TPU matmul precision",
+)
+
+
+def test_gc_shaped_roundtrip_on_chip():
+    """Production-shaped GC table (max_len 3133, offsets to -1565):
+    encode on the TPU, decode both host-side and device-side."""
+    from cra5_tpu.entropy import gc_update, get_scale_table
+
+    table = gc_update(get_scale_table())
+    rng = np.random.default_rng(7)
+    n, K = 200000, 2048
+    idx = rng.integers(0, table.num_indexes, n).astype(np.int32)
+    mv = table.cdf_length[idx] - 2
+    sym = ((rng.random(n) * mv).astype(np.int32) + table.offset[idx]).astype(np.int32)
+    esc = rng.random(n) < 0.01
+    sym = np.where(esc, sym + rng.integers(-4000, 4000, n), sym).astype(np.int32)
+
+    coder = LaneCoder(table, num_lanes=K)
+    data = coder.encode_from_device(jnp.asarray(sym), jnp.asarray(idx))
+    assert np.array_equal(coder.decode(data, idx), sym)
+    assert np.array_equal(
+        np.asarray(coder.decode_to_device(data, jnp.asarray(idx))), sym
+    )
+
+
+def test_eb_rowplan_decode_on_chip():
+    """Channel-broadcast EB-like stream through the gather-free row-plan
+    kernel on real hardware (the kernel's matmul tricks carry stream
+    words up to 65535 — exact only at Precision.HIGHEST)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_rans import make_table
+
+    rng = np.random.default_rng(3)
+    table = make_table(rng, ncdfs=64, max_bins=40)
+    HW, K = 648, 256
+    idx = np.repeat(np.arange(64, dtype=np.int32), HW)
+    mv = table.cdf_length[idx] - 2
+    sym = ((rng.random(idx.size) * mv).astype(np.int32) + table.offset[idx]).astype(np.int32)
+    coder = LaneCoder(table, num_lanes=K)
+    data = coder.encode_from_device(jnp.asarray(sym), jnp.asarray(idx))
+    assert coder._rowplan_ok(K, HW)
+    out = coder.decode_to_device(data, jnp.asarray(idx), row_plan=HW)
+    assert np.array_equal(np.asarray(out), sym)
