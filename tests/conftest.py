@@ -7,7 +7,11 @@ import os
 # sitecustomize imports jax at interpreter startup, so mutating os.environ
 # here is too late — jax.config.update is the only switch that still works.
 # Tests must never contend for the single real chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# CRA5_TPU_HW_TESTS=1 opts OUT of the CPU forcing so tests/test_tpu_hw.py
+# can run against the real chip (run that file alone in that mode).
+_hw = os.environ.get("CRA5_TPU_HW_TESTS") == "1"
+if not _hw:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +20,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _hw:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

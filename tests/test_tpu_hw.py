@@ -5,8 +5,10 @@ Pallas kernels run in interpret mode with exact-f32 matmuls).
 Why they exist: the CPU suite cannot catch TPU-only corruption classes —
 Mosaic lowering differences, default-precision matmul truncation to bf16
 (a packed offset like 65521 rounds to 65536), or VMEM layout padding.
-Run manually on a chip:  JAX_PLATFORMS='' python -m pytest tests/test_tpu_hw.py
-(see also the round-2 review finding that motivated this file)."""
+Run manually on a chip (conftest.py otherwise forces the CPU backend):
+    CRA5_TPU_HW_TESTS=1 python -m pytest tests/test_tpu_hw.py
+(see also the round-2 review finding that motivated this file; verified
+passing on v5e 2026-08-17, ~5 min incl. compile)."""
 
 import numpy as np
 import pytest
