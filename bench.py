@@ -39,6 +39,9 @@ def main():
 
     # persistent compile cache: the 268v towers take minutes to compile cold
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    # XLA-internal AOT blobs compile remotely with CPU features this host
+    # lacks - reloading them risks SIGILL (keep only the HLO-level cache)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
