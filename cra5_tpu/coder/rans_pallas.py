@@ -62,15 +62,27 @@ def use_pallas_scan(K: int) -> bool:
 
 
 def use_pallas_decode(K: int) -> bool:
-    """Route a decode through the Pallas kernel? The decode kernel needs
-    per-lane vector gathers (binary-search probes + stream refill), which
-    the current Mosaic lowering rejects ("Only 2D gather is supported",
-    with no take/take_along_axis form accepted — probed 2026-08-16 on
-    v5e). The kernel is correctness-locked in interpret mode; auto never
-    selects it on hardware. Flip this when Mosaic gains vector gather."""
+    """Route a decode through the generic Pallas kernel? That kernel
+    needs per-lane vector gathers (binary-search probes + stream refill),
+    which the current Mosaic lowering rejects ("Only 2D gather is
+    supported", with no take/take_along_axis form accepted — probed
+    2026-08-16 on v5e). The kernel is correctness-locked in interpret
+    mode; auto never selects it on hardware. Flip this when Mosaic gains
+    vector gather."""
     if _PALLAS_MODE != "on" or K % 128:
         return False
     return True
+
+
+def use_pallas_rowplan(K: int) -> bool:
+    """Route a channel-broadcast decode through the gather-free row-plan
+    kernel? Unlike the generic decode it lowers on current Mosaic; cost
+    scales with K**2 (tri/one-hot matmuls), so cap the lane count. The
+    caller still checks its table-size and K<=symbols-per-channel
+    constraints (LaneCoder._rowplan_ok)."""
+    if _PALLAS_MODE == "off" or K > 512:
+        return False
+    return _PALLAS_MODE == "on" or jax.default_backend() in ("tpu", "axon")
 
 PRECISION = 16
 _LANE_L = 1 << 16  # lower bound of the 32-bit lane state (plain int:

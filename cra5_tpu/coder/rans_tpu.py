@@ -341,6 +341,29 @@ def _slicer(size: int):
     return jax.jit(lambda a: jax.lax.slice(a, (0,), (size,)))
 
 
+def _padded_index_grid(indexes_any, M, K):
+    """Flatten + zero-pad indexes to the (M, K) scan grid (the encoder
+    pads the same way, so padded lanes decode identically and drop)."""
+    idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
+    n = idx_flat.shape[0]
+    pad = M * K - n
+    idx_p = jnp.pad(idx_flat, (0, pad)) if pad else idx_flat
+    return idx_p.reshape(M, K), n
+
+
+def _apply_escapes(values, sentinel, esc_vals, n, idx_shape, has_esc):
+    """Replace sentinel-coded positions with their side-channel values
+    (shared epilogue of every device decode path)."""
+    values = values.reshape(-1)[:n]
+    if has_esc:
+        sentinel = sentinel.reshape(-1)[:n]
+        rank = jnp.cumsum(sentinel.astype(jnp.int32)) - 1
+        values = jnp.where(
+            sentinel, jnp.take(esc_vals, rank, mode="clip"), values
+        )
+    return values.reshape(idx_shape)
+
+
 @functools.partial(jax.jit, static_argnames=("M", "K", "has_esc"))
 def _decode_rowplan_device(indexes_any, states, stream, esc_vals, cdf_2d,
                            max_values, offsets, M, K, has_esc):
@@ -351,12 +374,7 @@ def _decode_rowplan_device(indexes_any, states, stream, esc_vals, cdf_2d,
     Mosaic version cannot lower). See rans_pallas.decode_rowplan_pallas."""
     from .rans_pallas import decode_rowplan_pallas
 
-    idx_shape = indexes_any.shape
-    idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
-    n = idx_flat.shape[0]
-    pad = M * K - n
-    idx_p = jnp.pad(idx_flat, (0, pad)) if pad else idx_flat
-    idx2 = idx_p.reshape(M, K)
+    idx2, n = _padded_index_grid(indexes_any, M, K)
     c0 = idx2[:, 0]
     c1 = jnp.max(idx2, axis=1)
     ids = jnp.stack([c0, c1, jnp.zeros_like(c0)], axis=1)  # (M, 3)
@@ -370,14 +388,9 @@ def _decode_rowplan_device(indexes_any, states, stream, esc_vals, cdf_2d,
     values, sentinel = decode_rowplan_pallas(
         rows, sel, states, stream_p, mv, off, M
     )
-    values = values.reshape(-1)[:n]
-    if has_esc:
-        sentinel = sentinel.reshape(-1)[:n]
-        rank = jnp.cumsum(sentinel.astype(jnp.int32)) - 1
-        values = jnp.where(
-            sentinel, jnp.take(esc_vals, rank, mode="clip"), values
-        )
-    return values.reshape(idx_shape)
+    return _apply_escapes(
+        values, sentinel, esc_vals, n, indexes_any.shape, has_esc
+    )
 
 
 @functools.partial(
@@ -387,34 +400,24 @@ def _decode_device(indexes_any, states, stream, esc_vals, lut_state,
                    lut_value, cdf_flat, max_values, offsets, max_len, M, K,
                    has_esc, use_pallas=False):
     """Fully on-device decode incl. escape scatter — one dispatch."""
-    idx_shape = indexes_any.shape
-    idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
-    n = idx_flat.shape[0]
-    pad = M * K - n
-    idx_p = jnp.pad(idx_flat, (0, pad)) if pad else idx_flat
+    idx2, n = _padded_index_grid(indexes_any, M, K)
     if use_pallas:
         # pre-gather everything the static index grid determines; the
         # kernel then only needs the small padded search table (no dense
         # cum->bin LUT: 12-probe in-VMEM binary search replaces it)
         from .rans_pallas import decode_scan_pallas
 
-        idx2 = idx_p.reshape(M, K)
         values, sentinel = decode_scan_pallas(
             idx2 * max_len, states, stream.astype(jnp.int32), cdf_flat,
             _take(max_values, idx2), _take(offsets, idx2), max_len, M,
         )
     else:
         values, sentinel = _decode_scan(
-            idx_p.reshape(M, K), states, stream, lut_state, lut_value, M,
+            idx2, states, stream, lut_state, lut_value, M,
         )
-    values = values.reshape(-1)[: n]
-    if has_esc:
-        sentinel = sentinel.reshape(-1)[: n]
-        rank = jnp.cumsum(sentinel.astype(jnp.int32)) - 1
-        values = jnp.where(
-            sentinel, jnp.take(esc_vals, rank, mode="clip"), values
-        )
-    return values.reshape(idx_shape)
+    return _apply_escapes(
+        values, sentinel, esc_vals, n, indexes_any.shape, has_esc
+    )
 
 
 class LaneCoder:
@@ -464,13 +467,13 @@ class LaneCoder:
         """Route a channel-broadcast decode through the gather-free
         Pallas row-plan kernel? ``per_index`` is the caller's symbols-
         per-channel count: a K-lane step spans at most 2 channels only
-        when K <= per_index. Cost scales with K**2 (tri/one-hot matmuls)
-        and max_len (row compares) — both tiny for EB z-streams."""
-        from . import rans_pallas as rp  # live module ref: the mode mutates
+        when K <= per_index; max_len bounds the kernel's per-step row
+        compares — both tiny for EB z-streams."""
+        from .rans_pallas import use_pallas_rowplan
 
-        if rp._PALLAS_MODE == "off" or K > 512 or K > per_index or self._max_len > 160:
-            return False
-        return rp._PALLAS_MODE == "on" or jax.default_backend() in ("tpu", "axon")
+        return (
+            K <= per_index and self._max_len <= 160 and use_pallas_rowplan(K)
+        )
 
     def _pallas_decode_ok(self, K: int, stream_len: int) -> bool:
         """Route this decode through the Pallas kernel? Requires the VPU
@@ -483,6 +486,14 @@ class LaneCoder:
         return use_pallas_decode(K) and (
             (int(self._cdf_flat.size) + stream_len) * 4 <= (6 << 20)
         )
+
+    def _luts_unless(self, use_pallas: bool):
+        """The decode LUTs, or tiny placeholders when the Pallas branch
+        (which binary-searches instead) will run — skips the multi-MB
+        LUT build and upload."""
+        if use_pallas:
+            return jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.int32)
+        return self._decode_luts()
 
     def _decode_luts(self):
         """Dense cum-keyed decode tables, one entry per (index, cum):
@@ -701,8 +712,7 @@ class LaneCoder:
         # state machine (batching a Pallas grid is not worth the risk for
         # a path that per-sample dispatch already beats on TPU)
         use_p = kind == "v2x1" and self._pallas_decode_ok(K, int(stream.shape[-1]))
-        dummy = (jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.int32))
-        ls, lv = dummy if use_p else self._decode_luts()
+        ls, lv = self._luts_unless(use_p)
 
         def one(idx, st, sw, ev):
             return _decode_device(
@@ -768,8 +778,7 @@ class LaneCoder:
                 n_esc > 0,
             )
         use_p = self._pallas_decode_ok(K, len(stream))
-        dummy = (jnp.zeros(1, jnp.uint32), jnp.zeros(1, jnp.int32))
-        ls, lv = dummy if use_p else self._decode_luts()
+        ls, lv = self._luts_unless(use_p)
         return _decode_device(
             indexes,
             jnp.asarray(states),
