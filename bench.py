@@ -120,7 +120,10 @@ def main():
             jax.block_until_ready(dec["x_hat"])
 
         pool = ThreadPoolExecutor(concurrency)
-        list(pool.map(roundtrip, [x] * concurrency))  # warm concurrent path
+        # warm the concurrent path properly: measured windows trend up for
+        # the first ~4 roundtrips (thread-local dispatch queues, transfer
+        # bucket hints), which would poison the first window
+        list(pool.map(roundtrip, [x] * max(concurrency, 4)))
         windows = []
         per_window = int(os.environ.get("BENCH_WINDOW", "6"))
         for _ in range(3):
