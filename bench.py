@@ -131,11 +131,12 @@ def main():
             list(pool.map(roundtrip, [x] * per_window))
             windows.append(batch * per_window / (time.time() - t0))
         pool.shutdown()
-        # best sustained window: the axon tunnel drifts by >20% between
-        # multi-second windows (measured run-to-run band 1.5-2.0 rps with
-        # identical code), so the max over 3 windows reports the machine,
-        # not the tunnel's worst moment; all windows go in the detail dict
-        pipe_throughput = float(np.max(windows))
+        # median window as the headline: a sustained-rate estimator that a
+        # re-run reproduces (the max would let one lucky window set the
+        # number). The axon tunnel drifts >20% between multi-second
+        # windows, so best/all windows stay in the detail dict to show
+        # the machine's ceiling vs the tunnel's jitter.
+        pipe_throughput = float(np.median(windows))
         throughput = max(throughput, pipe_throughput)
     baseline = 1.0 / (0.0983 + 0.0343)  # reference GPU roundtrips/sec
     result = {
@@ -298,7 +299,9 @@ def main():
                     **({"baseline_configs": extras} if extras else {}),
                     "mean_roundtrip_s": round(mean_t, 4),
                     "pipelined_rps": round(pipe_throughput, 4) if pipe_throughput else None,
+                    "pipelined_rps_estimator": "median_of_windows" if pipe_throughput else None,
                     "pipelined_windows": [round(w, 4) for w in windows] if pipe_throughput else None,
+                    "pipelined_best_window": round(float(np.max(windows)), 4) if pipe_throughput else None,
                     "concurrency": concurrency,
                     "mean_encode_s": round(float(np.mean(enc_times)), 4),
                     "mean_decode_s": round(float(np.mean(dec_times)), 4),

@@ -448,6 +448,11 @@ class LaneCoder:
         )
         self._sym_lut = None  # dense cum -> bin lookup, built on first decode
         self._magic = None  # per-(index, bin) division constants
+        # speculative-finalize size hints, per instance (keyed (n, K)):
+        # a class-global dict keyed by id(self) would leak stale hints to
+        # a new coder reallocated at the same address
+        self._bucket_hint: Dict[Tuple[int, int], Tuple[int, int]] = {}
+        self._rowplan_checked: set = set()
 
     def _magic_tables(self):
         if self._magic is None:
@@ -474,6 +479,30 @@ class LaneCoder:
         return (
             K <= per_index and self._max_len <= 160 and use_pallas_rowplan(K)
         )
+
+    def _validate_rowplan(self, indexes, K: int) -> None:
+        """Debug check of the caller's ``row_plan`` promise, once per
+        index shape: every K-lane scan step may draw from at most two
+        distinct cdf rows — the step's first and its max — or the
+        gather-free kernel silently decodes against the wrong row. Costs
+        one D2H of the index grid on first use of each shape."""
+        key = (tuple(indexes.shape), K)
+        if key in self._rowplan_checked:
+            return
+        idx = np.asarray(indexes).reshape(-1).astype(np.int64)
+        n = idx.size
+        M = -(-n // K)
+        g = np.concatenate([idx, np.full(M * K - n, -1)]).reshape(M, K)
+        c0, c1 = g[:, 0], g.max(axis=1)
+        ok = (g < 0) | (g == c0[:, None]) | (g == c1[:, None])
+        if not ok.all():
+            raise ValueError(
+                "row_plan promise violated: a K-lane decode step contains "
+                "a cdf index outside {step-first, step-max}; the row-plan "
+                "kernel would corrupt symbols. Pass row_plan=False for "
+                "non-channel-broadcast index grids."
+            )
+        self._rowplan_checked.add(key)
 
     def _pallas_decode_ok(self, K: int, stream_len: int) -> bool:
         """Route this decode through the Pallas kernel? Requires the VPU
@@ -560,20 +589,19 @@ class LaneCoder:
             magic_m, magic_s, self._max_len, M, K,
             use_pallas=use_pallas_scan(K),
         )
-        # trailing id(self): finalize keys its bucket hints per coder so
-        # two coders with same-shaped streams don't thrash each other
-        return (n, K, M) + out + (id(self),)
+        # trailing self: finalize keys its bucket hints per coder instance
+        # so two coders with same-shaped streams don't thrash each other
+        return (n, K, M) + out + (self,)
 
-    # speculative finalize: last bucketed (words, escapes) sizes keyed by
-    # (coder, n, K). Production encodes a stream of same-shaped timesteps
-    # whose coded sizes move slowly, so the previous call's buckets
-    # almost always fit — letting counts and buffers ride ONE batched
-    # device_get instead of two (each roundtrip costs a ~27 ms tunnel
-    # RTT). A miss (count exceeds the speculated bucket) refetches just
-    # the short buffers (one extra batched device_get for all misses);
-    # correctness never depends on the hint. FIFO-capped against growth.
-    _bucket_hint: Dict[Tuple[int, int, int], Tuple[int, int]] = {}
-    _BUCKET_HINT_CAP = 512
+    # speculative finalize: last bucketed (words, escapes) sizes kept in
+    # each coder's ``self._bucket_hint``, keyed (n, K). Production encodes
+    # a stream of same-shaped timesteps whose coded sizes move slowly, so
+    # the previous call's buckets almost always fit — letting counts and
+    # buffers ride ONE batched device_get instead of two (each roundtrip
+    # costs a ~27 ms tunnel RTT). A miss (count exceeds the speculated
+    # bucket) refetches just the short buffers (one extra batched
+    # device_get for all misses); correctness never depends on the hint.
+    _BUCKET_HINT_CAP = 64  # per instance; a coder sees a handful of shapes
 
     @staticmethod
     def encode_finalize_many(handles) -> list:
@@ -586,9 +614,7 @@ class LaneCoder:
         results = [empty] * len(handles)
         if not live:
             return results
-        hint = LaneCoder._bucket_hint
-        hkey = lambda h: (h[8], h[0], h[1])
-        hints = [hint.get(hkey(h)) for _, h in live]
+        hints = [h[8]._bucket_hint.get((h[0], h[1])) for _, h in live]
         slice_wl = lambda h, w, e: (
             h[3],
             _slicer(min(w, h[2] * h[1]))(h[4]),
@@ -630,9 +656,10 @@ class LaneCoder:
         for (pos, h), (nw, ne), (states, stream, escs) in zip(live, counts, bufs):
             n, K = h[0], h[1]
             nw, ne = int(nw), int(ne)
-            if len(hint) >= LaneCoder._BUCKET_HINT_CAP and hkey(h) not in hint:
+            hint = h[8]._bucket_hint
+            if len(hint) >= LaneCoder._BUCKET_HINT_CAP and (n, K) not in hint:
                 hint.pop(next(iter(hint)))
-            hint[hkey(h)] = (_bucket(max(nw, 1)), _bucket(max(ne, 1)))
+            hint[(n, K)] = (_bucket(max(nw, 1)), _bucket(max(ne, 1)))
             stream = np.asarray(stream[:nw], np.uint16)
             esc_val = np.asarray(escs[:ne], np.int32)
             header = struct.pack("<IIIII", MAGIC, n, K, ne, nw)
@@ -765,6 +792,7 @@ class LaneCoder:
 
         M = -(-n // K)
         if row_plan and self._rowplan_ok(K, int(row_plan)):
+            self._validate_rowplan(indexes, K)
             return _decode_rowplan_device(
                 indexes,
                 jnp.asarray(states),

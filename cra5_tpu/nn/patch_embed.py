@@ -105,8 +105,9 @@ class PatchUnembed(nn.Module):
     per-token (kh, kw) output patches followed by a slice/concat
     overlap-add. Numerics match flax ``nn.ConvTranspose``
     (transpose_kernel=False ⇒ the kernel is applied spatially flipped);
-    equivalence is locked by tests/test_convert.py::test_unpatchify_parity
-    and tests/test_nn.py."""
+    equivalence is locked by
+    tests/test_convert.py::test_conv_transpose_final_parity and
+    tests/test_nn.py."""
 
     out_chans: int
     patch_size: Tuple[int, int]

@@ -97,7 +97,7 @@ def test_finalize_bucket_hint_miss_refetch(rng):
     table = make_table(rng, ncdfs=4)
     n = 4000
     coder = LaneCoder(table, num_lanes=128)
-    LaneCoder._bucket_hint.clear()
+    coder._bucket_hint.clear()
     # low-entropy: all symbols sit in the most probable bin of index 0
     pmf_peak = int(np.argmax(np.diff(table.quantized_cdf[0])))
     sym0 = np.full(n, pmf_peak + table.offset[0], np.int32)
