@@ -65,9 +65,35 @@ inline uint32_t dec_get_bits(DecState &s, uint32_t nbits) {
   return val;
 }
 
+inline bool cdfs_valid(const int32_t *cdfs, const int32_t *cdf_sizes,
+                       size_t ncdfs, size_t cdf_stride) {
+  // Mirrors the reference's debug-build assert_cdfs
+  // (cpp_exts/rans/rans_interface.cpp:56-66): each row starts at 0, ends
+  // at 2^precision, and is strictly monotone over its declared length.
+  for (size_t k = 0; k < ncdfs; ++k) {
+    const int32_t size = cdf_sizes[k];
+    if (size < 2 || static_cast<size_t>(size) > cdf_stride) return false;
+    const int32_t *cdf = cdfs + k * cdf_stride;
+    if (cdf[0] != 0) return false;
+    if (cdf[size - 1] != (1 << kPrecision)) return false;
+    for (int32_t i = 0; i + 1 < size; ++i) {
+      if (cdf[i + 1] <= cdf[i]) return false;
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Standalone table validation for callers that want to check once and
+// then skip the per-call validation (e.g. the streaming AR decoder).
+// Returns 0 if every row is a well-formed quantized CDF, -2 otherwise.
+int rans_validate_cdfs(const int32_t *cdfs, const int32_t *cdf_sizes,
+                       size_t ncdfs, size_t cdf_stride) {
+  return cdfs_valid(cdfs, cdf_sizes, ncdfs, cdf_stride) ? 0 : -2;
+}
 
 // Encode n symbols. cdfs: row-major (ncdfs x cdf_stride) int32. Returns the
 // number of bytes written into out (always a multiple of 4), or -1 if the
@@ -78,12 +104,13 @@ long long rans_encode_with_indexes(
     const int32_t *symbols, const int32_t *indexes, size_t n,
     const int32_t *cdfs, const int32_t *cdf_sizes, const int32_t *offsets,
     size_t ncdfs, size_t cdf_stride, uint8_t *out, size_t out_cap) {
-  (void)ncdfs;
+  if (!cdfs_valid(cdfs, cdf_sizes, ncdfs, cdf_stride)) return -2;
   std::vector<Sym> syms;
   syms.reserve(n + n / 8);
 
   for (size_t i = 0; i < n; ++i) {
     const int32_t k = indexes[i];
+    if (k < 0 || static_cast<size_t>(k) >= ncdfs) return -3;
     const int32_t *cdf = cdfs + static_cast<size_t>(k) * cdf_stride;
     const int32_t max_value = cdf_sizes[k] - 2;
 
@@ -158,7 +185,7 @@ int rans_decode_with_indexes(
     const uint8_t *data, size_t nbytes, const int32_t *indexes, size_t n,
     const int32_t *cdfs, const int32_t *cdf_sizes, const int32_t *offsets,
     size_t ncdfs, size_t cdf_stride, int32_t *out) {
-  (void)ncdfs;
+  if (!cdfs_valid(cdfs, cdf_sizes, ncdfs, cdf_stride)) return -2;
   if (nbytes < 8 || (nbytes % 4) != 0) return -1;
   DecState s;
   const uint32_t *words = reinterpret_cast<const uint32_t *>(data);
@@ -170,6 +197,7 @@ int rans_decode_with_indexes(
 
   for (size_t i = 0; i < n; ++i) {
     const int32_t k = indexes[i];
+    if (k < 0 || static_cast<size_t>(k) >= ncdfs) return -3;
     const int32_t *cdf = cdfs + static_cast<size_t>(k) * cdf_stride;
     const int32_t size = cdf_sizes[k];
     const int32_t max_value = size - 2;
@@ -244,15 +272,19 @@ int rans_stream_decode(void *handle, const int32_t *indexes, size_t n,
                        const int32_t *cdfs, const int32_t *cdf_sizes,
                        const int32_t *offsets, size_t ncdfs, size_t cdf_stride,
                        int32_t *out) {
-  (void)ncdfs;
+  // per-call table validation is skipped here (the AR loop calls this per
+  // pixel with the same table — use rans_validate_cdfs once instead);
+  // index bounds are still enforced per symbol.
   RansStream *st = reinterpret_cast<RansStream *>(handle);
   if (!st) return -1;
   DecState &s = st->s;
   constexpr uint32_t mask = (1u << kPrecision) - 1;
   for (size_t i = 0; i < n; ++i) {
     const int32_t k = indexes[i];
+    if (k < 0 || static_cast<size_t>(k) >= ncdfs) return -3;
     const int32_t *cdf = cdfs + static_cast<size_t>(k) * cdf_stride;
     const int32_t size = cdf_sizes[k];
+    if (size < 2 || static_cast<size_t>(size) > cdf_stride) return -2;
     const int32_t max_value = size - 2;
     const uint32_t cum = static_cast<uint32_t>(s.x & mask);
     int32_t lo = 0, hi = size - 1;

@@ -93,6 +93,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.rans_stream_free.restype = None
         lib.rans_stream_free.argtypes = [ctypes.c_void_p]
+        lib.rans_validate_cdfs.restype = ctypes.c_int
+        lib.rans_validate_cdfs.argtypes = [
+            c_i32p, c_i32p, ctypes.c_size_t, ctypes.c_size_t,
+        ]
         lib.pmf_to_quantized_cdf_c.restype = ctypes.c_int
         lib.pmf_to_quantized_cdf_c.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_size_t, ctypes.c_int, c_i32p,
@@ -155,6 +159,10 @@ def encode_with_indexes(symbols, indexes, cdfs, cdf_sizes, offsets) -> bytes:
         _ptr(offs, ctypes.c_int32), table.shape[0], stride,
         _ptr(out, ctypes.c_uint8), cap,
     )
+    if nbytes == -2:
+        raise ValueError("rans_encode_with_indexes: invalid CDF table")
+    if nbytes == -3:
+        raise ValueError("rans_encode_with_indexes: cdf index out of range")
     if nbytes < 0:
         raise RuntimeError("rans_encode_with_indexes: output buffer overflow")
     return out[:nbytes].tobytes()
@@ -183,6 +191,10 @@ def decode_with_indexes(encoded: bytes, indexes, cdfs, cdf_sizes, offsets) -> np
         _ptr(offs, ctypes.c_int32), table.shape[0], stride,
         _ptr(out, ctypes.c_int32),
     )
+    if rc == -2:
+        raise ValueError("rans_decode_with_indexes: invalid CDF table")
+    if rc == -3:
+        raise ValueError("rans_decode_with_indexes: cdf index out of range")
     if rc != 0:
         raise ValueError("rans_decode_with_indexes: malformed stream")
     return out.reshape(idx_arr.shape)
@@ -195,6 +207,7 @@ class StreamingDecoder:
     def __init__(self, encoded: bytes):
         self._lib = _load()
         self._handle = None
+        self._validated = set()
         if self._lib is None:
             from .rans_py import RansDecoder
 
@@ -212,6 +225,17 @@ class StreamingDecoder:
         idx = _as_i32(indexes)
         table, sizes, stride = _prep_cdfs(cdfs, cdf_sizes)
         offs = _as_i32(offsets)
+        # validate each distinct table once (the AR loop re-passes the
+        # same table per pixel; full per-call validation would dominate)
+        tkey = (table.ctypes.data, table.shape)
+        if self._lib is not None and tkey not in self._validated:
+            rc = self._lib.rans_validate_cdfs(
+                _ptr(table, ctypes.c_int32), _ptr(sizes, ctypes.c_int32),
+                table.shape[0], stride,
+            )
+            if rc != 0:
+                raise ValueError("stream decode: invalid CDF table")
+            self._validated.add(tkey)
         if self._lib is None:
             vals = self._py.decode_stream(
                 idx.tolist(), table.tolist(), sizes.tolist(), offs.tolist()
@@ -224,6 +248,8 @@ class StreamingDecoder:
             _ptr(offs, ctypes.c_int32), table.shape[0], stride,
             _ptr(out, ctypes.c_int32),
         )
+        if rc == -3:
+            raise ValueError("stream decode: cdf index out of range")
         if rc != 0:
             raise ValueError("stream decode failed")
         return out.reshape(idx_arr.shape)

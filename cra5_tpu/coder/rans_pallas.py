@@ -74,6 +74,32 @@ def use_pallas_decode(K: int) -> bool:
     return True
 
 
+_SORTED_MODE = os.environ.get("CRA5_TPU_SORTED_LANES", "auto")
+
+
+def set_sorted_lanes(mode: str) -> None:
+    """mode: "auto" | "on" | "off" — index-sorted lane assignment (the
+    gather-free sorted decode kernel). Separate from the pallas-rans knob
+    so the unsorted v2 golden streams stay reproducible on CPU."""
+    global _SORTED_MODE
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"invalid sorted lanes mode {mode!r}")
+    _SORTED_MODE = mode
+
+
+def use_sorted_lanes(K: int) -> bool:
+    """Encode new streams with the index-sorted lane assignment (and route
+    their decode through decode_sorted_pallas)? Sorting costs one
+    2-operand sort each way (~7ms at 2.65M symbols on v5e), paid back
+    several times over by the gather-free decode — but only for big
+    multi-row streams on a real TPU."""
+    if _SORTED_MODE == "off" or K % 128:
+        return False
+    if _SORTED_MODE == "on":
+        return True
+    return K >= 2048 and jax.default_backend() in ("tpu", "axon")
+
+
 def use_pallas_rowplan(K: int) -> bool:
     """Route a channel-broadcast decode through the gather-free row-plan
     kernel? Unlike the generic decode it lowers on current Mosaic; cost
@@ -344,6 +370,170 @@ def decode_rowplan_pallas(rows, sel, states, stream, mv, off,
         col(off),
     )
     return values.reshape(M, K), sentinel.reshape(M, K).astype(bool)
+
+
+def _make_sorted_decode_kernel(G: int, Lc: int, K: int, nrows: int):
+    """Decode kernel for INDEX-SORTED streams: each step's lanes span at
+    most two cdf rows with a known split lane, so the symbol lookup is a
+    two-level (coarse/chunk) search against per-step broadcast tables —
+    lanes ride the MINOR axis ((X, K) layouts) so row/chunk selection is
+    a small one-hot MXU matmul and no vector gather is ever needed. The
+    stream refill reads a contiguous window at the step's word pointer
+    and distributes it to refilling lanes with a second one-hot matmul.
+
+    This removes the two per-step XLA gathers (packed LUT + refill) that
+    kept the generic y-stream decode on lax.scan (PERF.md), the cost the
+    reference pays as a serial linear CDF scan per symbol
+    (rans_interface.cpp:246-250)."""
+    G1 = G + 1
+    TwoLc = 2 * Lc
+
+    def kernel(split_ref, mv0_ref, mv1_ref, off0_ref, off1_ref,  # SMEM (M,)
+               states_ref, stream_ref,                            # VMEM full
+               coarseT_ref, chunkT_ref,                           # per-step
+               values_ref, sentinel_ref,                          # outputs
+               x_ref, ptr_ref):                                   # scratch
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            x_ref[...] = states_ref[...]
+            ptr_ref[0] = 0
+
+        x = x_ref[...]                                        # (1, K) uint32
+        cum = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)      # (1, K)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        sel = (col >= split_ref[t]).astype(jnp.int32)         # (1, K)
+
+        # coarse level: count cdf[r, c*G] <= cum over both candidate rows
+        ct = coarseT_ref[0]                                   # (Lc, 2) int32
+        le0 = (ct[:, 0:1] <= cum).astype(jnp.int32)           # (Lc, K)
+        le1 = (ct[:, 1:2] <= cum).astype(jnp.int32)
+        c0 = jnp.sum(le0, axis=0, keepdims=True) - 1          # (1, K)
+        c1 = jnp.sum(le1, axis=0, keepdims=True) - 1
+        coarse = jnp.where(sel == 1, c1, c0)                  # (1, K), >= 0
+
+        # chunk select: one-hot over the 2*Lc (row, chunk) pairs — exact
+        # one-hot operand, f32 table (< 2**16 values are f32-exact),
+        # HIGHEST precision against the bf16 default truncation
+        flat = sel * Lc + coarse
+        oh = (
+            flat == jax.lax.broadcasted_iota(jnp.int32, (TwoLc, K), 0)
+        ).astype(jnp.float32)
+        chunk = jax.lax.dot_general(
+            chunkT_ref[0], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                     # (G1, K) f32
+        cum_f = cum.astype(jnp.float32)
+        lef = (chunk <= cum_f).astype(jnp.float32)            # (G1, K)
+        fine = jnp.sum(lef, axis=0, keepdims=True).astype(jnp.int32) - 1
+        start = jnp.max(chunk * lef, axis=0, keepdims=True)   # cdf[bin]
+        nxt = jnp.min(
+            jnp.where(lef == 1.0, jnp.float32(1 << 17), chunk),
+            axis=0, keepdims=True,
+        )                                                     # cdf[bin+1]
+        freq = (nxt - start).astype(jnp.int32).astype(jnp.uint32)
+        start_u = start.astype(jnp.int32).astype(jnp.uint32)
+
+        s_bin = coarse * G + fine                             # (1, K)
+        mv = jnp.where(sel == 1, mv1_ref[t], mv0_ref[t])
+        off = jnp.where(sel == 1, off1_ref[t], off0_ref[t])
+        values_ref[0] = s_bin + off
+        sentinel_ref[0] = (s_bin == mv).astype(jnp.int32)
+
+        x = freq * (x >> PRECISION) + cum.astype(jnp.uint32) - start_u
+
+        # refill: ranks from a Kogge-Stone prefix (minor-axis rolls), then
+        # a one-hot select of the contiguous word window at ptr
+        refill = x < _LANE_L                                  # (1, K)
+        ri = refill.astype(jnp.int32)
+        v = ri
+        s = 1
+        while s < K:
+            sh = pltpu.roll(v, s, 1)
+            v = v + jnp.where(col >= s, sh, 0)
+            s *= 2
+        rank = v - ri                                         # exclusive
+        total = jnp.sum(ri)
+        pos = ptr_ref[0] + rank                               # (1, K)
+        r0w = ptr_ref[0] // 128
+        rows = stream_ref[pl.ds(r0w, nrows), :].astype(jnp.float32)
+        ohr = (
+            (pos // 128) - r0w
+            == jax.lax.broadcasted_iota(jnp.int32, (nrows, K), 0)
+        ).astype(jnp.float32)                                 # (nrows, K)
+        lane_rows = jax.lax.dot_general(
+            rows, ohr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                     # (128, K)
+        cmask = (
+            (pos & 127)
+            == jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
+        ).astype(jnp.float32)
+        w = jnp.sum(lane_rows * cmask, axis=0, keepdims=True)
+        w = w.astype(jnp.int32).astype(jnp.uint32)            # (1, K)
+        x_ref[...] = jnp.where(refill, (x << PRECISION) | w, x)
+        ptr_ref[0] = ptr_ref[0] + total
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "G", "Lc", "interpret")
+)
+def decode_sorted_pallas(coarseT, chunkT, split, mv0, mv1, off0, off1,
+                         states, stream, num_steps, G, Lc, interpret=None):
+    """Gather-free Pallas decode for index-sorted streams. ``coarseT`` is
+    (M, Lc, 2) int32 (both candidate rows' coarse tables per step),
+    ``chunkT`` (M, G+1, 2*Lc) f32 (chunked cdf windows, row 0 in columns
+    [0, Lc), row 1 in [Lc, 2Lc)), ``split``/``mv0``/``mv1``/``off0``/
+    ``off1`` (M,) int32 per-step scalars, ``states`` (K,) uint32,
+    ``stream`` (W,) int32 padded so W >= n_words + K + 256. Returns
+    (values (M, K) int32, sentinel (M, K) bool)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # Mosaic needs real TPU
+    M = coarseT.shape[0]
+    K = int(states.shape[0])
+    assert M == num_steps
+    nrows = K // 128 + 2
+    W = stream.shape[0]
+    Wr = -(-W // 128) + nrows
+    stream_grid = jnp.pad(stream, (0, Wr * 128 - W)).reshape(Wr, 128)
+    fwd = lambda t: (t, 0, 0)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    values, sentinel = pl.pallas_call(
+        _make_sorted_decode_kernel(G, Lc, K, nrows),
+        grid=(M,),
+        in_specs=[
+            smem(), smem(), smem(), smem(), smem(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # states (1, K)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # stream (Wr, 128)
+            pl.BlockSpec((1, Lc, 2), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G + 1, 2 * Lc), fwd, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, K), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), fwd, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, 1, K), jnp.int32),
+            jax.ShapeDtypeStruct((M, 1, K), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, K), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        split, mv0, mv1, off0, off1,
+        states.reshape(1, K),
+        stream_grid,
+        coarseT,
+        chunkT,
+    )
+    return values.reshape(M, K), sentinel.reshape(M, K) != 0
 
 
 def _make_decode_kernel(n_probes: int, max_len: int):

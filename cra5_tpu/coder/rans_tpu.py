@@ -239,25 +239,56 @@ def _decode_scan(indexes, states, stream, lut_state, lut_value, num_steps):
     return l2 >> 1, (l2 & 1) == 1
 
 
-@functools.partial(jax.jit, static_argnames=("max_len", "M", "K", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("max_len", "M", "K", "use_pallas", "sort")
+)
 def _encode_device(symbols_any, indexes_any, packed_cdf, idx_packed,
-                   magic_m_flat, magic_s_flat, max_len, M, K, use_pallas=False):
+                   magic_m_flat, magic_s_flat, max_len, M, K, use_pallas=False,
+                   sort=False):
     """Fully on-device encode: padding, symbol prep (escape mapping,
     cdf/magic gathers), the rANS scan, and compaction of the emitted
     words and escape values — one dispatch; only count-sized buffers
     cross to the host afterwards. Eager per-op dispatch is expensive on
-    tunneled backends, so everything lives inside this jit."""
+    tunneled backends, so everything lives inside this jit.
+
+    ``sort=True`` encodes in index-sorted symbol order (stable by flat
+    position): the decoder derives the identical permutation from its own
+    indexes, and the sorted order makes every K-lane scan step span at
+    most TWO cdf rows with a known split — the property the gather-free
+    sorted decode kernel needs (rans_pallas.decode_sorted_pallas). The
+    container layout is unchanged; bit 31 of the header K field marks the
+    mode."""
     sym_flat = jnp.ravel(symbols_any).astype(jnp.int32)
     idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
     n = sym_flat.shape[0]
     pad = M * K - n
+    if sort:
+        # one 2-operand sort carries the symbols along with the keys
+        # (cheaper than sort + a separate 2.65M take: 7ms vs 24ms on v5e)
+        pos_bits = max((n - 1).bit_length(), 1)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        key = (idx_flat << pos_bits) | iota
+        skey, sym_flat = jax.lax.sort((key, sym_flat), num_keys=1)
+        idx_flat = skey >> pos_bits
     if pad:
-        # padded slots use index 0 at its offset (in-range, no escape)
-        off0 = ((idx_packed[0] & 0xFFFF) ^ 0x8000) - 0x8000
-        sym_flat = jnp.pad(sym_flat, (0, pad), constant_values=0) + jnp.pad(
-            jnp.zeros(n, jnp.int32), (0, pad), constant_values=1
-        ) * off0
-        idx_flat = jnp.pad(idx_flat, (0, pad))
+        if sort:
+            # pad with the LAST (max) index so the padded sorted sequence
+            # stays nondecreasing — every scan window keeps <= 2 rows
+            pidx = idx_flat[n - 1]
+            poff = ((idx_packed[pidx] & 0xFFFF) ^ 0x8000) - 0x8000
+            idx_flat = jnp.concatenate(
+                [idx_flat, jnp.broadcast_to(pidx, (pad,))]
+            )
+            sym_flat = jnp.concatenate(
+                [sym_flat, jnp.broadcast_to(poff, (pad,))]
+            )
+        else:
+            # padded slots use index 0 at its offset (in-range, no escape)
+            off0 = ((idx_packed[0] & 0xFFFF) ^ 0x8000) - 0x8000
+            sym_flat = jnp.pad(sym_flat, (0, pad), constant_values=0) + jnp.pad(
+                jnp.zeros(n, jnp.int32), (0, pad), constant_values=1
+            ) * off0
+            idx_flat = jnp.pad(idx_flat, (0, pad))
     symbols, indexes = sym_flat, idx_flat
     # (max_value, offset) and (freq-1, start) ride packed int32 tables:
     # one lookup each instead of two (XLA's TPU gather is the dominant
@@ -298,6 +329,21 @@ def _encode_device(symbols_any, indexes_any, packed_cdf, idx_packed,
     s = _take(magic_s_flat, row0 + bins)
 
     grid = lambda a: a.reshape(M, K)
+    # window safety for the sorted decode kernel: every K-lane step must
+    # span at most TWO cdf rows (<= 1 within-row transition). The verdict
+    # travels in the container header (bit 30 of K) so the decoder can
+    # route to the gather-free kernel without a device sync — its indexes
+    # are identical, so the encoder's check is authoritative.
+    if sort:
+        idx2 = grid(indexes)
+        safe = (
+            jnp.max(
+                jnp.sum((idx2[:, 1:] != idx2[:, :-1]).astype(jnp.int32), axis=1)
+            )
+            <= 1
+        ).astype(jnp.int32)
+    else:
+        safe = jnp.int32(0)
     # the Pallas kernel runs the whole sequential loop on-chip (~0.13
     # ms/step of lax.scan loop overhead avoided, see coder/rans_pallas.py)
     scan = _pallas_encode_scan if use_pallas else _encode_scan
@@ -318,7 +364,7 @@ def _encode_device(symbols_any, indexes_any, packed_cdf, idx_packed,
     esc_buf = jnp.zeros(M * K, jnp.int32)
     esc_buf = esc_buf.at[jnp.where(escape, esc_rank, M * K)].set(symbols, mode="drop")
 
-    return x_final, stream_buf, esc_buf, n_words, n_esc
+    return x_final, stream_buf, esc_buf, n_words, n_esc, safe
 
 
 def _bucket(n: int) -> int:
@@ -339,6 +385,38 @@ def _bucket(n: int) -> int:
 @functools.lru_cache(maxsize=256)
 def _slicer(size: int):
     return jax.jit(lambda a: jax.lax.slice(a, (0,), (size,)))
+
+
+_SORTED_FLAG = 1 << 31  # K header bit 31: index-sorted lane assignment
+_KERNEL_SAFE_FLAG = 1 << 30  # K bit 30: every step spans <= 2 cdf rows
+
+
+def _parse_v2_header(data: bytes):
+    """Validate and parse a v2 container header. Raises ValueError on any
+    malformed field instead of letting np.frombuffer fail mid-parse (or
+    worse, silently decode garbage from a truncated buffer). Returns
+    (n, K, n_esc, n_words, sorted_mode, kernel_safe) — bit 31 of the K
+    field marks the index-sorted lane assignment and bit 30 the encoder's
+    window-safety verdict for the gather-free decode kernel (see
+    LaneCoder sorted mode)."""
+    if len(data) < 20:
+        raise ValueError("truncated CRX2 stream: missing header")
+    magic, n, K, n_esc, n_words = struct.unpack_from("<IIIII", data, 0)
+    if magic != MAGIC:
+        raise ValueError("not a CRX2 (format v2) stream")
+    sorted_mode = bool(K & _SORTED_FLAG)
+    kernel_safe = bool(K & _KERNEL_SAFE_FLAG)
+    K &= ~(_SORTED_FLAG | _KERNEL_SAFE_FLAG)
+    if not 1 <= K <= (1 << 20):
+        raise ValueError(f"implausible lane count K={K}")
+    if n > (1 << 30) or n_esc > n + K:
+        raise ValueError("implausible symbol/escape counts")
+    need = 20 + 4 * K + 2 * n_words
+    if len(data) < need:
+        raise ValueError(
+            f"truncated CRX2 stream: header promises {need} bytes, got {len(data)}"
+        )
+    return n, K, n_esc, n_words, sorted_mode, kernel_safe
 
 
 def _padded_index_grid(indexes_any, M, K):
@@ -362,6 +440,70 @@ def _apply_escapes(values, sentinel, esc_vals, n, idx_shape, has_esc):
             sentinel, jnp.take(esc_vals, rank, mode="clip"), values
         )
     return values.reshape(idx_shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "K", "has_esc", "pos_bits", "G", "Lc", "use_kernel"),
+)
+def _decode_sorted_device(indexes_any, states, stream, esc_vals,
+                          coarse_tab, chunkT_tab, lut_state, lut_value,
+                          max_values, offsets,
+                          M, K, has_esc, pos_bits, G, Lc, use_kernel):
+    """Decode an index-sorted v2 stream: derive the encoder's permutation
+    from the (identical) index grid with one sort, decode in sorted order
+    — through the gather-free Pallas kernel when routable, else the
+    generic packed-LUT lax.scan — and un-permute with a second 2-operand
+    sort (cheaper than a 2.65M scatter: ~7ms vs ~12ms on v5e)."""
+    idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
+    n = idx_flat.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = (idx_flat << pos_bits) | iota
+    skey = jnp.sort(key)
+    perm = skey & ((1 << pos_bits) - 1)
+    sidx = skey >> pos_bits
+    pad = M * K - n
+    if pad:
+        sidx_p = jnp.concatenate(
+            [sidx, jnp.broadcast_to(sidx[n - 1], (pad,))]
+        )
+    else:
+        sidx_p = sidx
+    idx2 = sidx_p.reshape(M, K)
+    if use_kernel:
+        from .rans_pallas import decode_sorted_pallas
+
+        r0 = idx2[:, 0]
+        r1 = idx2[:, -1]
+        split = K - jnp.sum((idx2 == r1[:, None]).astype(jnp.int32), axis=1)
+        mv0 = jnp.take(max_values, r0, mode="clip")
+        mv1 = jnp.take(max_values, r1, mode="clip")
+        off0 = jnp.take(offsets, r0, mode="clip")
+        off1 = jnp.take(offsets, r1, mode="clip")
+        coarseT = jnp.stack(
+            [jnp.take(coarse_tab, r0, axis=0, mode="clip"),
+             jnp.take(coarse_tab, r1, axis=0, mode="clip")], axis=-1,
+        )  # (M, Lc, 2)
+        chunkT = jnp.concatenate(
+            [jnp.take(chunkT_tab, r0, axis=0, mode="clip"),
+             jnp.take(chunkT_tab, r1, axis=0, mode="clip")], axis=-1,
+        )  # (M, G+1, 2*Lc)
+        stream_p = jnp.pad(stream.astype(jnp.int32), (0, K + 256))
+        values, sentinel = decode_sorted_pallas(
+            coarseT, chunkT, split, mv0, mv1, off0, off1,
+            states, stream_p, M, G, Lc,
+        )
+    else:
+        values, sentinel = _decode_scan(
+            idx2, states, stream, lut_state, lut_value, M
+        )
+    vals = values.reshape(-1)[:n]
+    if has_esc:
+        sent = sentinel.reshape(-1)[:n]
+        rank = jnp.cumsum(sent.astype(jnp.int32)) - 1
+        vals = jnp.where(sent, jnp.take(esc_vals, rank, mode="clip"), vals)
+    _, out = jax.lax.sort((perm, vals), num_keys=1)
+    return out.reshape(indexes_any.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("M", "K", "has_esc"))
@@ -453,6 +595,7 @@ class LaneCoder:
         # a new coder reallocated at the same address
         self._bucket_hint: Dict[Tuple[int, int], Tuple[int, int]] = {}
         self._rowplan_checked: set = set()
+        self._sorted_tabs = None  # coarse/chunk tables for the sorted kernel
 
     def _magic_tables(self):
         if self._magic is None:
@@ -503,6 +646,64 @@ class LaneCoder:
                 "non-channel-broadcast index grids."
             )
         self._rowplan_checked.add(key)
+
+    def _sorted_kernel_ok(self, K: int, stream_len: int) -> bool:
+        """Route a sorted-stream decode through decode_sorted_pallas? The
+        kernel holds the (Wr, 128) stream grid resident in VMEM."""
+        from .rans_pallas import use_sorted_lanes
+
+        return use_sorted_lanes(K) and (stream_len + K + 512) * 4 <= (7 << 20)
+
+    def _sorted_tables(self):
+        """Coarse/chunked search tables for the sorted decode kernel,
+        derived once from the padded search table: coarse[r, c] =
+        cdf[r, c*G]; chunkT[r, g, c] = cdf[r, c*G + g] (g in [0, G],
+        the +1 overlap supplies cdf[bin+1] for the last bin of a chunk),
+        f32 (values <= 2**16 are f32-exact) for the one-hot MXU select."""
+        if self._sorted_tabs is None:
+            G = 64
+            L = self._max_len
+            Lc = -(-L // G)
+            ncdfs = self.table.num_indexes
+            ext = np.full((ncdfs, Lc * G + 1), 1 << PRECISION, np.int32)
+            ext[:, :L] = self._search
+            ids = np.arange(Lc)[:, None] * G + np.arange(G + 1)[None, :]
+            chunk = ext[:, ids]  # (ncdfs, Lc, G+1)
+            self._sorted_tabs = (
+                jnp.asarray(self._search[:, ::G]),  # (ncdfs, Lc) int32
+                jnp.asarray(
+                    np.transpose(chunk, (0, 2, 1)).astype(np.float32)
+                ),  # (ncdfs, G+1, Lc)
+                G,
+                Lc,
+            )
+        return self._sorted_tabs
+
+    def _decode_sorted(self, indexes, states, stream, esc_vals, M, K,
+                       has_esc, kernel_safe=False) -> jax.Array:
+        """Decode one index-sorted stream against device-resident indexes.
+        ``kernel_safe`` is the encoder's header verdict that every scan
+        step spans <= 2 cdf rows; without it the sorted stream decodes on
+        the generic packed-LUT lax.scan."""
+        n = int(np.prod(indexes.shape))
+        pos_bits = max((n - 1).bit_length(), 1)
+        use_kernel = kernel_safe and self._sorted_kernel_ok(
+            K, int(stream.shape[-1])
+        )
+        if use_kernel:
+            coarse_tab, chunkT_tab, G, Lc = self._sorted_tables()
+            ls, lv = self._luts_unless(True)
+        else:
+            coarse_tab = jnp.zeros((1, 1), jnp.int32)
+            chunkT_tab = jnp.zeros((1, 1, 1), jnp.float32)
+            G = Lc = 1
+            ls, lv = self._decode_luts()
+        return _decode_sorted_device(
+            indexes, states, stream, esc_vals,
+            coarse_tab, chunkT_tab, ls, lv,
+            self._max_values, self._offsets,
+            M, K, has_esc, pos_bits, G, Lc, use_kernel,
+        )
 
     def _pallas_decode_ok(self, K: int, stream_len: int) -> bool:
         """Route this decode through the Pallas kernel? Requires the VPU
@@ -584,14 +785,29 @@ class LaneCoder:
         magic_m, magic_s = self._magic_tables()
         from .rans_pallas import use_pallas_scan
 
+        sort = self._sorted_ok(n, K)
         out = _encode_device(
             symbols, indexes, self._packed_cdf, self._idx_packed,
             magic_m, magic_s, self._max_len, M, K,
-            use_pallas=use_pallas_scan(K),
+            use_pallas=use_pallas_scan(K), sort=sort,
         )
         # trailing self: finalize keys its bucket hints per coder instance
         # so two coders with same-shaped streams don't thrash each other
-        return (n, K, M) + out + (self,)
+        return (n, K, M) + out + (sort, self)
+
+    def _sorted_ok(self, n: int, K: int) -> bool:
+        """Use the index-sorted lane assignment for this stream? Requires
+        the (idx << pos_bits | pos) key to fit int32 and the sorted decode
+        kernel to be routable (rans_pallas.use_sorted_lanes) — sorting
+        costs ~7ms at 2.65M symbols and only pays off through the
+        gather-free decode."""
+        pos_bits = max((n - 1).bit_length(), 1)
+        idx_bits = max(int(self.table.num_indexes - 1).bit_length(), 1)
+        if pos_bits + idx_bits > 31:
+            return False
+        from .rans_pallas import use_sorted_lanes
+
+        return use_sorted_lanes(K)
 
     # speculative finalize: last bucketed (words, escapes) sizes kept in
     # each coder's ``self._bucket_hint``, keyed (n, K). Production encodes
@@ -614,7 +830,7 @@ class LaneCoder:
         results = [empty] * len(handles)
         if not live:
             return results
-        hints = [h[8]._bucket_hint.get((h[0], h[1])) for _, h in live]
+        hints = [h[10]._bucket_hint.get((h[0], h[1])) for _, h in live]
         slice_wl = lambda h, w, e: (
             h[3],
             _slicer(min(w, h[2] * h[1]))(h[4]),
@@ -623,12 +839,12 @@ class LaneCoder:
         if all(hints):
             sliced = [slice_wl(h, hw, he) for (_, h), (hw, he) in zip(live, hints)]
             counts, bufs = jax.device_get((
-                tuple((h[6], h[7]) for _, h in live), tuple(sliced)
+                tuple((h[6], h[7], h[8]) for _, h in live), tuple(sliced)
             ))
             bufs = list(bufs)
             missed = [
                 j
-                for j, ((_, h), (nw, ne), (hw, he)) in enumerate(
+                for j, ((_, h), (nw, ne, _), (hw, he)) in enumerate(
                     zip(live, counts, hints)
                 )
                 if int(nw) > min(hw, h[2] * h[1])
@@ -647,22 +863,25 @@ class LaneCoder:
                     bufs[j] = buf
         else:
             counts = jax.device_get(
-                tuple((h[6], h[7]) for _, h in live)  # (n_words, n_esc) pairs
+                tuple((h[6], h[7], h[8]) for _, h in live)  # + kernel-safe flag
             )
             bufs = jax.device_get(tuple(
                 slice_wl(h, _bucket(max(int(nw), 1)), _bucket(max(int(ne), 1)))
-                for (_, h), (nw, ne) in zip(live, counts)
+                for (_, h), (nw, ne, _) in zip(live, counts)
             ))
-        for (pos, h), (nw, ne), (states, stream, escs) in zip(live, counts, bufs):
+        for (pos, h), (nw, ne, safe), (states, stream, escs) in zip(live, counts, bufs):
             n, K = h[0], h[1]
             nw, ne = int(nw), int(ne)
-            hint = h[8]._bucket_hint
+            hint = h[10]._bucket_hint
             if len(hint) >= LaneCoder._BUCKET_HINT_CAP and (n, K) not in hint:
                 hint.pop(next(iter(hint)))
             hint[(n, K)] = (_bucket(max(nw, 1)), _bucket(max(ne, 1)))
             stream = np.asarray(stream[:nw], np.uint16)
             esc_val = np.asarray(escs[:ne], np.int32)
-            header = struct.pack("<IIIII", MAGIC, n, K, ne, nw)
+            kf = K
+            if h[9]:
+                kf |= _SORTED_FLAG | (_KERNEL_SAFE_FLAG if int(safe) else 0)
+            header = struct.pack("<IIIII", MAGIC, n, kf, ne, nw)
             results[pos] = b"".join([
                 header,
                 np.asarray(states, np.uint32).astype("<u4").tobytes(),
@@ -686,38 +905,38 @@ class LaneCoder:
         produces its indexes (e.g. the y-stream uploads during the z-scan
         and hyper-synthesis phases)."""
         B = len(datas)
-        headers = [struct.unpack_from("<IIIII", _unwrap_bytes(d), 0) for d in datas]
+        headers = [_parse_v2_header(_unwrap_bytes(d)) for d in datas]
         if n is None:
-            n = headers[0][1]
-        for magic, hn, K, n_esc, n_words in headers:
-            if magic != MAGIC:
-                raise ValueError("not a CRX2 (format v2) stream")
+            n = headers[0][0]
+        for hn, K, n_esc, n_words, _, _ in headers:
             if hn != n:
                 raise ValueError(f"symbol count mismatch: stream {hn}, indexes {n}")
-        K = headers[0][2]
-        if any(h[2] != K for h in headers):
+        K = headers[0][1]
+        sorted_mode = headers[0][4]
+        if any(h[1] != K or h[4] != sorted_mode for h in headers):
             return ("mixed", datas)  # foreign producer: per-item fallback
-        W = _bucket(max(max(h[4] for h in headers), 1))
-        E = _bucket(max(max(h[3] for h in headers), 1))
+        W = _bucket(max(max(h[3] for h in headers), 1))
+        E = _bucket(max(max(h[2] for h in headers), 1))
         states = np.zeros((B, K), np.uint32)
         stream = np.zeros((B, W), np.uint16)
         escs = np.zeros((B, E), np.int32)
-        for b, (d, (_, _, _, n_esc, n_words)) in enumerate(zip(datas, headers)):
+        for b, (d, (_, _, n_esc, n_words, _, _)) in enumerate(zip(datas, headers)):
             d = _unwrap_bytes(d)
             off = 20
             states[b] = np.frombuffer(d, "<u4", K, off); off += 4 * K
             stream[b, :n_words] = np.frombuffer(d, "<u2", n_words, off)
             off += 2 * n_words
             escs[b, :n_esc] = _zigzag_varint_decode(d[off:], n_esc)
-        has_esc = any(h[3] > 0 for h in headers)
+        has_esc = any(h[2] > 0 for h in headers)
+        safes = tuple(h[5] for h in headers)
         if B == 1:  # unbatched buffers: reuses the single-sample compiled
             # scan and avoids eager device-array slicing at decode time
             return (
-                "v2x1", n, K, has_esc,
+                "v2x1", n, K, has_esc, sorted_mode, safes,
                 jnp.asarray(states[0]), jnp.asarray(stream[0]), jnp.asarray(escs[0]),
             )
         return (
-            "v2", n, K, has_esc,
+            "v2", n, K, has_esc, sorted_mode, safes,
             jnp.asarray(states), jnp.asarray(stream), jnp.asarray(escs),
         )
 
@@ -729,12 +948,22 @@ class LaneCoder:
                 [self.decode_to_device(_unwrap_bytes(d), indexes[i])
                  for i, d in enumerate(handle[1])]
             )
-        kind, n, K, has_esc, states, stream, escs = handle
+        kind, n, K, has_esc, sorted_mode, safes, states, stream, escs = handle
         if int(np.prod(indexes.shape[1:])) != n:
             raise ValueError(
                 f"symbol count mismatch: stream {n}, indexes {indexes.shape[1:]}"
             )
         M = -(-n // K)
+        if sorted_mode:
+            if kind != "v2x1":
+                return jnp.stack([
+                    self._decode_sorted(indexes[b], states[b], stream[b],
+                                        escs[b], M, K, has_esc, safes[b])
+                    for b in range(indexes.shape[0])
+                ])
+            return self._decode_sorted(
+                indexes[0], states, stream, escs, M, K, has_esc, safes[0]
+            )[None]
         # single-sample only: the vmapped batch path keeps the lax.scan
         # state machine (batching a Pallas grid is not worth the risk for
         # a path that per-sample dispatch already beats on TPU)
@@ -774,9 +1003,7 @@ class LaneCoder:
         channel-broadcast index grid (each scan step's values within
         {step-first, step-max, 0}, guaranteed when K <= the count) and
         routes through the gather-free Pallas kernel on TPU."""
-        magic, n, K, n_esc, n_words = struct.unpack_from("<IIIII", data, 0)
-        if magic != MAGIC:
-            raise ValueError("not a CRX2 (format v2) stream")
+        n, K, n_esc, n_words, sorted_mode, kernel_safe = _parse_v2_header(data)
         if n != int(np.prod(indexes.shape)):
             raise ValueError(f"symbol count mismatch: stream {n}, indexes {indexes.shape}")
         off = 20
@@ -791,6 +1018,14 @@ class LaneCoder:
         esc_padded = np.pad(esc_val, (0, _bucket(max(n_esc, 1)) - n_esc))
 
         M = -(-n // K)
+        if sorted_mode:
+            return self._decode_sorted(
+                indexes,
+                jnp.asarray(states),
+                jnp.asarray(stream.astype(np.uint16)),
+                jnp.asarray(esc_padded),
+                M, K, n_esc > 0, kernel_safe,
+            )
         if row_plan and self._rowplan_ok(K, int(row_plan)):
             self._validate_rowplan(indexes, K)
             return _decode_rowplan_device(
@@ -828,9 +1063,7 @@ class LaneCoder:
     def decode(self, data: bytes, indexes: np.ndarray) -> np.ndarray:
         indexes_arr = np.asarray(indexes)
         indexes = np.ascontiguousarray(indexes_arr.reshape(-1), np.int32)
-        magic, n, K, n_esc, n_words = struct.unpack_from("<IIIII", data, 0)
-        if magic != MAGIC:
-            raise ValueError("not a CRX2 (format v2) stream")
+        n, K, n_esc, n_words, sorted_mode, _ = _parse_v2_header(data)
         if n != indexes.size:
             raise ValueError(f"symbol count mismatch: stream {n}, indexes {indexes.size}")
         off = 20
@@ -842,7 +1075,22 @@ class LaneCoder:
 
         M = -(-n // K)
         pad = M * K - n
-        idx_p = np.concatenate([indexes, np.zeros(pad, np.int32)]) if pad else indexes
+        perm = None
+        if sorted_mode:
+            # reproduce the encoder's stable index sort host-side (unique
+            # packed keys give the identical total order)
+            pos_bits = max((n - 1).bit_length(), 1)
+            key = (indexes.astype(np.int64) << pos_bits) | np.arange(n)
+            skey = np.sort(key)
+            perm = (skey & ((1 << pos_bits) - 1)).astype(np.int64)
+            indexes = (skey >> pos_bits).astype(np.int32)
+            idx_p = (
+                np.concatenate([indexes, np.full(pad, indexes[-1], np.int32)])
+                if pad
+                else indexes
+            )
+        else:
+            idx_p = np.concatenate([indexes, np.zeros(pad, np.int32)]) if pad else indexes
 
         if n_words == 0:
             stream = np.zeros(1, np.uint16)  # never read; keeps gather well-formed
@@ -865,6 +1113,10 @@ class LaneCoder:
             )
         if n_esc:
             out[sent] = esc_val
+        if perm is not None:  # un-permute sorted-mode symbols
+            unsorted = np.empty_like(out)
+            unsorted[perm] = out
+            out = unsorted
         return out.reshape(indexes_arr.shape)
 
 

@@ -1,0 +1,120 @@
+"""Index-sorted lane assignment (v2 header bit 31) + the gather-free
+sorted decode kernel (decode_sorted_pallas, exercised in interpret mode
+on CPU). The sorted container is byte-stable and cross-decodes between
+the host and device paths."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cra5_tpu.coder.rans_pallas import set_sorted_lanes
+from cra5_tpu.coder.rans_tpu import LaneCoder, _parse_v2_header
+
+from test_rans import make_table, sample_symbols
+
+
+@pytest.fixture
+def sorted_on():
+    set_sorted_lanes("on")
+    yield
+    set_sorted_lanes("auto")
+
+
+def test_sorted_flag_roundtrip_header(sorted_on, rng):
+    table = make_table(rng, ncdfs=8, max_bins=24)
+    sym, idx = sample_symbols(rng, table, 4000, escape_frac=0.05)
+    coder = LaneCoder(table, num_lanes=128)
+    data = coder.encode(sym, idx)
+    n, K, n_esc, n_words, sorted_mode, safe = _parse_v2_header(data)
+    assert sorted_mode and (n, K) == (4000, 128)
+    assert np.array_equal(coder.decode(data, idx), sym)
+
+
+@pytest.mark.parametrize(
+    "n,K,esc",
+    [(40000, 512, 0.03), (1000, 128, 0.0), (130, 128, 0.5), (513, 512, 0.02)],
+)
+def test_sorted_device_decode_matches(sorted_on, rng, n, K, esc):
+    """Device decode (kernel when the stream is window-safe, sorted
+    lax.scan otherwise) matches the host path and the original symbols."""
+    table = make_table(rng, ncdfs=64, max_bins=300)
+    sym, idx = sample_symbols(rng, table, n, escape_frac=esc)
+    coder = LaneCoder(table, num_lanes=K)
+    data = coder.encode(sym, idx)
+    out_dev = np.asarray(coder.decode_to_device(data, jnp.asarray(idx)))
+    out_host = coder.decode(data, idx)
+    assert np.array_equal(out_dev, sym)
+    assert np.array_equal(out_host, sym)
+
+
+def test_sorted_safety_verdict(sorted_on, rng):
+    """Streams whose buckets are >= K-dense are flagged kernel-safe;
+    sparse-bucket streams are not (and still decode via the fallback)."""
+    table = make_table(rng, ncdfs=4, max_bins=16)
+    # dense: 4 buckets x >= 4*K symbols each
+    sym, idx = sample_symbols(rng, table, 40000, escape_frac=0.01)
+    coder = LaneCoder(table, num_lanes=256)
+    safe_stream = coder.encode(sym, idx)
+    assert _parse_v2_header(safe_stream)[5] is True
+    # sparse: one bucket has a single symbol in the middle
+    table2 = make_table(rng, ncdfs=64, max_bins=12)
+    sym2, idx2 = sample_symbols(rng, table2, 2000, escape_frac=0.0)
+    coder2 = LaneCoder(table2, num_lanes=512)
+    unsafe_stream = coder2.encode(sym2, idx2)
+    assert _parse_v2_header(unsafe_stream)[5] is False
+    assert np.array_equal(coder2.decode(unsafe_stream, idx2), sym2)
+    assert np.array_equal(
+        np.asarray(coder2.decode_to_device(unsafe_stream, jnp.asarray(idx2))),
+        sym2,
+    )
+
+
+def test_sorted_single_index_stream(sorted_on, rng):
+    table = make_table(rng, ncdfs=16, max_bins=200)
+    n = 3000
+    idx = np.full(n, 7, np.int32)
+    mv = int(table.cdf_length[7] - 2)
+    bins = (rng.random(n) * mv).astype(np.int32)
+    sym = (bins + table.offset[7]).astype(np.int32)
+    coder = LaneCoder(table, num_lanes=256)
+    data = coder.encode(sym, idx)
+    assert _parse_v2_header(data)[4:] == (True, True)
+    assert np.array_equal(
+        np.asarray(coder.decode_to_device(data, jnp.asarray(idx))), sym
+    )
+
+
+def test_sorted_batch_upload_decode(sorted_on, rng):
+    table = make_table(rng, ncdfs=16, max_bins=64)
+    n, K, B = 20000, 256, 3
+    syms, idxs, datas = [], [], []
+    coder = LaneCoder(table, num_lanes=K)
+    for b in range(B):
+        sym, idx = sample_symbols(rng, table, n, escape_frac=0.02)
+        syms.append(sym)
+        idxs.append(idx)
+        datas.append(coder.encode(sym, idx))
+    idx_b = jnp.asarray(np.stack(idxs))
+    out = np.asarray(
+        coder.decode_uploaded_batch(coder.upload_batch(datas), idx_b)
+    )
+    assert np.array_equal(out, np.stack(syms))
+
+
+def test_sorted_mode_off_stays_unsorted(rng):
+    table = make_table(rng, ncdfs=8, max_bins=24)
+    sym, idx = sample_symbols(rng, table, 4000, escape_frac=0.02)
+    coder = LaneCoder(table, num_lanes=128)
+    data = coder.encode(sym, idx)  # auto on CPU -> unsorted
+    assert _parse_v2_header(data)[4] is False
+    assert np.array_equal(coder.decode(data, idx), sym)
+
+
+def test_sorted_golden_stable(sorted_on, rng):
+    """Sorted-mode container bytes are deterministic (same inputs ->
+    identical stream), locking the permutation definition."""
+    table = make_table(rng, ncdfs=32, max_bins=100)
+    sym, idx = sample_symbols(rng, table, 25000, escape_frac=0.04)
+    c1 = LaneCoder(table, num_lanes=256)
+    c2 = LaneCoder(table, num_lanes=256)
+    assert c1.encode(sym, idx) == c2.encode(sym, idx)
