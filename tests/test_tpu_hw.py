@@ -46,6 +46,42 @@ def test_gc_shaped_roundtrip_on_chip():
     )
 
 
+def test_sorted_kernel_roundtrip_on_chip():
+    """Index-sorted y-stream-shaped roundtrip through the gather-free
+    sorted decode kernel on real hardware (Mosaic lowering of the SMEM
+    per-step scalars, Kogge-Stone rolls, one-hot window select, and the
+    HIGHEST-precision chunk-select matmul are all TPU-only risks the
+    interpret-mode CPU tests cannot see)."""
+    from cra5_tpu.coder.rans_pallas import set_sorted_lanes
+    from cra5_tpu.coder.rans_tpu import _parse_v2_header
+    from cra5_tpu.entropy import gc_update, get_scale_table
+
+    table = gc_update(get_scale_table())
+    rng = np.random.default_rng(11)
+    n, K = 500000, 2048
+    # dense buckets (each >= K) so the stream is window-safe
+    idx = np.sort(rng.integers(0, 16, n)).astype(np.int32)
+    rng.shuffle(idx)  # decode input arrives unsorted
+    mv = table.cdf_length[idx] - 2
+    sym = ((rng.random(n) * mv).astype(np.int32) + table.offset[idx]).astype(np.int32)
+    esc = rng.random(n) < 0.005
+    sym = np.where(esc, sym + rng.integers(-4000, 4000, n), sym).astype(np.int32)
+
+    set_sorted_lanes("on")
+    try:
+        coder = LaneCoder(table, num_lanes=K)
+        data = coder.encode_from_device(jnp.asarray(sym), jnp.asarray(idx))
+        hdr = _parse_v2_header(data)
+        assert hdr[4] and hdr[5], f"expected sorted+safe, got {hdr}"
+        assert coder._sorted_kernel_ok(K, (len(data) - 20 - 4 * K) // 2)
+        out = coder.decode_to_device(data, jnp.asarray(idx))
+        assert np.array_equal(np.asarray(out), sym)
+        # host oracle decodes the same container
+        assert np.array_equal(coder.decode(data, idx), sym)
+    finally:
+        set_sorted_lanes("auto")
+
+
 def test_eb_rowplan_decode_on_chip():
     """Channel-broadcast EB-like stream through the gather-free row-plan
     kernel on real hardware (the kernel's matmul tricks carry stream
