@@ -440,13 +440,206 @@ void rdoq_range(const Tables &tb, const float *x, const int32_t *idx,
   }
 }
 
+// ---- neural synthesis (format CRS1) ------------------------------------
+//
+// Pure-C++ reconstruction: the reference's SADL decoder runs the
+// synthesis network without Python (/root/reference/cra5/models/
+// compressai/sadl_codec/decoder_generic.h:121-213); this is the
+// equivalent for the conv-baseline g_s stacks (deconv / GDN-inverse /
+// conv / relu). Weights come from standalone/export.py::export_synthesis
+// with GDN weights already re-parameterized to their effective values
+// and deconv kernels pre-flipped to scatter-accumulate orientation.
+
+enum SynthLayerType {
+  kChannelBias = 0,  // y_hat = sym + medians (EB dequantize offset)
+  kDeconv = 1,
+  kIGDN = 2,
+  kReLU = 3,
+  kConv = 4,
+  kGDN = 5,
+  kLeakyReLU = 6,
+};
+
+struct SynthLayer {
+  int32_t type = 0;
+  int32_t cin = 0, cout = 0, k = 0, s = 0;
+  std::vector<float> kernel;  // deconv/conv: [dy][dx][ci][co]
+  std::vector<float> bias;    // cout (or C for channel_bias)
+  std::vector<float> beta;    // gdn: C
+  std::vector<float> gamma;   // gdn: C*C row-major [co][ci]
+};
+
+bool load_synthesis(const char *path, std::vector<SynthLayer> &net) {
+  FILE *f = fopen(path, "rb");
+  if (!f) return false;
+  char magic[4];
+  int32_t n_layers;
+  if (!read_exact(f, magic, 4) || memcmp(magic, "CRS1", 4) != 0 ||
+      !read_exact(f, &n_layers, 4) || n_layers < 0 || n_layers > 1024) {
+    fclose(f);
+    return false;
+  }
+  net.resize(n_layers);
+  for (auto &L : net) {
+    if (!read_exact(f, &L.type, 4)) { fclose(f); return false; }
+    if (L.type == kChannelBias) {
+      if (!read_exact(f, &L.cout, 4)) { fclose(f); return false; }
+      L.bias.resize(L.cout);
+      if (!read_exact(f, L.bias.data(), 4u * L.cout)) { fclose(f); return false; }
+    } else if (L.type == kDeconv || L.type == kConv) {
+      int32_t geom[4];
+      if (!read_exact(f, geom, 16)) { fclose(f); return false; }
+      L.cin = geom[0]; L.cout = geom[1]; L.k = geom[2]; L.s = geom[3];
+      if (L.cin <= 0 || L.cout <= 0 || L.k <= 0 || L.s <= 0) { fclose(f); return false; }
+      L.kernel.resize(static_cast<size_t>(L.k) * L.k * L.cin * L.cout);
+      L.bias.resize(L.cout);
+      if (!read_exact(f, L.kernel.data(), 4 * L.kernel.size()) ||
+          !read_exact(f, L.bias.data(), 4 * L.bias.size())) { fclose(f); return false; }
+    } else if (L.type == kIGDN || L.type == kGDN) {
+      if (!read_exact(f, &L.cout, 4)) { fclose(f); return false; }
+      L.cin = L.cout;
+      L.beta.resize(L.cout);
+      L.gamma.resize(static_cast<size_t>(L.cout) * L.cout);
+      if (!read_exact(f, L.beta.data(), 4 * L.beta.size()) ||
+          !read_exact(f, L.gamma.data(), 4 * L.gamma.size())) { fclose(f); return false; }
+    } else if (L.type != kReLU && L.type != kLeakyReLU) {
+      fclose(f);
+      return false;
+    }
+  }
+  fclose(f);
+  return true;
+}
+
+// activations are channel-major planes: act[c * H * W + y * W + x]
+void synth_deconv(const SynthLayer &L, const std::vector<float> &in, int H,
+                  int W, std::vector<float> &out, int &Ho, int &Wo) {
+  // flax deconv2d semantics: VALID transpose then crop [p, p + H*s)
+  // (nn/conv.py::deconv2d); kernel pre-flipped by the exporter so this
+  // is a plain scatter-accumulate.
+  const int k = L.k, s = L.s, p = L.k / 2;
+  const int Hf = (H - 1) * s + k, Wf = (W - 1) * s + k;
+  Ho = H * s; Wo = W * s;
+  std::vector<float> full(static_cast<size_t>(L.cout) * Hf * Wf, 0.f);
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      const float *xin = in.data() + static_cast<size_t>(i) * W + j;
+      for (int dy = 0; dy < k; ++dy)
+        for (int dx = 0; dx < k; ++dx) {
+          const float *Wk =
+              L.kernel.data() + (static_cast<size_t>(dy) * k + dx) * L.cin * L.cout;
+          float *o = full.data() + static_cast<size_t>(i * s + dy) * Wf + (j * s + dx);
+          for (int ci = 0; ci < L.cin; ++ci) {
+            const float v = xin[static_cast<size_t>(ci) * H * W];
+            if (v == 0.f) continue;
+            const float *wrow = Wk + static_cast<size_t>(ci) * L.cout;
+            for (int co = 0; co < L.cout; ++co)
+              o[static_cast<size_t>(co) * Hf * Wf] += v * wrow[co];
+          }
+        }
+    }
+  out.assign(static_cast<size_t>(L.cout) * Ho * Wo, 0.f);
+  for (int co = 0; co < L.cout; ++co)
+    for (int y = 0; y < Ho; ++y)
+      for (int x = 0; x < Wo; ++x)
+        out[(static_cast<size_t>(co) * Ho + y) * Wo + x] =
+            full[(static_cast<size_t>(co) * Hf + (y + p)) * Wf + (x + p)] +
+            L.bias[co];
+}
+
+void synth_conv(const SynthLayer &L, const std::vector<float> &in, int H,
+                int W, std::vector<float> &out, int &Ho, int &Wo) {
+  // stride-s conv, 'same' padding k//2 (nn/conv.py::conv2d)
+  const int k = L.k, s = L.s, p = L.k / 2;
+  Ho = (H + s - 1) / s; Wo = (W + s - 1) / s;
+  out.assign(static_cast<size_t>(L.cout) * Ho * Wo, 0.f);
+  for (int oy = 0; oy < Ho; ++oy)
+    for (int ox = 0; ox < Wo; ++ox) {
+      for (int dy = 0; dy < k; ++dy) {
+        const int iy = oy * s + dy - p;
+        if (iy < 0 || iy >= H) continue;
+        for (int dx = 0; dx < k; ++dx) {
+          const int ix = ox * s + dx - p;
+          if (ix < 0 || ix >= W) continue;
+          const float *Wk =
+              L.kernel.data() + (static_cast<size_t>(dy) * k + dx) * L.cin * L.cout;
+          for (int ci = 0; ci < L.cin; ++ci) {
+            const float v = in[(static_cast<size_t>(ci) * H + iy) * W + ix];
+            const float *wrow = Wk + static_cast<size_t>(ci) * L.cout;
+            float *o = out.data() + static_cast<size_t>(oy) * Wo + ox;
+            for (int co = 0; co < L.cout; ++co)
+              o[static_cast<size_t>(co) * Ho * Wo] += v * wrow[co];
+          }
+        }
+      }
+      for (int co = 0; co < L.cout; ++co)
+        out[(static_cast<size_t>(co) * Ho + oy) * Wo + ox] += L.bias[co];
+    }
+}
+
+void synth_gdn(const SynthLayer &L, std::vector<float> &act, int H, int W,
+               bool inverse) {
+  const int C = L.cout;
+  const size_t plane = static_cast<size_t>(H) * W;
+  std::vector<float> sq(static_cast<size_t>(C));
+  for (size_t px = 0; px < plane; ++px) {
+    for (int c = 0; c < C; ++c) {
+      const float v = act[static_cast<size_t>(c) * plane + px];
+      sq[c] = v * v;
+    }
+    for (int co = 0; co < C; ++co) {
+      float norm = L.beta[co];
+      const float *g = L.gamma.data() + static_cast<size_t>(co) * C;
+      for (int ci = 0; ci < C; ++ci) norm += g[ci] * sq[ci];
+      norm = std::sqrt(norm);
+      float &v = act[static_cast<size_t>(co) * plane + px];
+      v = inverse ? v * norm : v / norm;
+    }
+  }
+}
+
+bool run_synthesis(const std::vector<SynthLayer> &net,
+                   const std::vector<int32_t> &sym, int C, int H, int W,
+                   std::vector<float> &out, int &Co, int &Ho, int &Wo) {
+  std::vector<float> act(sym.size());
+  for (size_t i = 0; i < sym.size(); ++i) act[i] = static_cast<float>(sym[i]);
+  Co = C; Ho = H; Wo = W;
+  for (const auto &L : net) {
+    if (L.type == kChannelBias) {
+      if (L.cout != Co) return false;
+      const size_t plane = static_cast<size_t>(Ho) * Wo;
+      for (int c = 0; c < Co; ++c)
+        for (size_t px = 0; px < plane; ++px)
+          act[static_cast<size_t>(c) * plane + px] += L.bias[c];
+    } else if (L.type == kDeconv || L.type == kConv) {
+      if (L.cin != Co) return false;
+      std::vector<float> next;
+      int Hn, Wn;
+      if (L.type == kDeconv) synth_deconv(L, act, Ho, Wo, next, Hn, Wn);
+      else synth_conv(L, act, Ho, Wo, next, Hn, Wn);
+      act.swap(next);
+      Co = L.cout; Ho = Hn; Wo = Wn;
+    } else if (L.type == kIGDN || L.type == kGDN) {
+      if (L.cout != Co) return false;
+      synth_gdn(L, act, Ho, Wo, L.type == kIGDN);
+    } else if (L.type == kReLU) {
+      for (auto &v : act) v = v > 0.f ? v : 0.f;
+    } else if (L.type == kLeakyReLU) {
+      for (auto &v : act) v = v > 0.f ? v : 0.01f * v;
+    }
+  }
+  out.swap(act);
+  return true;
+}
+
 int usage() {
   fprintf(stderr,
           "usage: cra5_codec encode <tables> <tensor> <out.bin>\n"
           "       cra5_codec decode <tables> <in.bin> <tensor-out>\n"
           "       cra5_codec encode2 <tables> <tensor> <out.bin>   (v2 lane format)\n"
           "       cra5_codec decode2 <tables> <in.bin> <tensor-out> (v2 lane format)\n"
-          "       cra5_codec rdoq <tables> <float-tensor> <lambda> <tensor-out>\n");
+          "       cra5_codec rdoq <tables> <float-tensor> <lambda> <tensor-out>\n"
+          "       cra5_codec decode-full <tables> <in.bin> <synthesis.crs> <float-tensor-out>\n");
   return 2;
 }
 
@@ -572,6 +765,58 @@ int main(int argc, char **argv) {
     }
     for (auto &th : threads) th.join();
     return save_tensor(argv[5], out) ? 0 : 1;
+  }
+
+  if (mode == "decode-full" && argc == 6) {
+    // entropy decode + neural synthesis, no Python anywhere (parity with
+    // the reference SADL decoder's full reconstruction path)
+    Tables tb;
+    if (!load_tables(argv[2], tb)) { fprintf(stderr, "bad tables\n"); return 1; }
+    FILE *f = fopen(argv[3], "rb");
+    if (!f) return 1;
+    char magic[4];
+    int32_t ndim;
+    if (!read_exact(f, magic, 4) ||
+        (memcmp(magic, "CRB1", 4) != 0 && memcmp(magic, "CRB2", 4) != 0) ||
+        !read_exact(f, &ndim, 4) || ndim <= 0 || ndim > 8) { fclose(f); return 1; }
+    const bool v2 = memcmp(magic, "CRB2", 4) == 0;
+    Tensor t;
+    t.dims.resize(ndim);
+    uint32_t nbytes;
+    if (!read_exact(f, t.dims.data(), 4u * ndim) || !read_exact(f, &nbytes, 4)) { fclose(f); return 1; }
+    std::vector<uint8_t> payload(nbytes);
+    if (!read_exact(f, payload.data(), nbytes)) { fclose(f); return 1; }
+    fclose(f);
+    std::vector<int32_t> idx;
+    channel_indexes(t, idx);
+    t.idata.resize(t.size());
+    bool ok;
+    if (v2) {
+      ok = lane_decode(tb, payload.data(), payload.size(), idx.data(), t.size(),
+                       t.idata.data());
+    } else {
+      ok = decode_stream(tb, reinterpret_cast<const uint32_t *>(payload.data()),
+                         payload.size() / 4, idx.data(), t.size(), t.idata.data());
+    }
+    if (!ok) { fprintf(stderr, "entropy decode failed\n"); return 1; }
+    std::vector<SynthLayer> net;
+    if (!load_synthesis(argv[4], net)) { fprintf(stderr, "bad synthesis file\n"); return 1; }
+    // dims: (..., C, H, W); leading dims must be 1 (single sample)
+    if (t.dims.size() < 3) { fprintf(stderr, "need (C,H,W) tensor\n"); return 1; }
+    for (size_t d = 0; d + 3 < t.dims.size(); ++d)
+      if (t.dims[d] != 1) { fprintf(stderr, "batch decode-full unsupported\n"); return 1; }
+    const int C = t.dims[t.dims.size() - 3];
+    const int H = t.dims[t.dims.size() - 2];
+    const int W = t.dims[t.dims.size() - 1];
+    Tensor o;
+    int Co, Ho, Wo;
+    o.is_float = true;
+    if (!run_synthesis(net, t.idata, C, H, W, o.fdata, Co, Ho, Wo)) {
+      fprintf(stderr, "synthesis failed (layer/channel mismatch)\n");
+      return 1;
+    }
+    o.dims = {1, Co, Ho, Wo};
+    return save_tensor(argv[5], o) ? 0 : 1;
   }
 
   return usage();

