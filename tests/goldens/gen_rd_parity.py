@@ -73,27 +73,41 @@ def bits_from_likelihoods(liks) -> float:
 def bd_rate_pct(ref_pts, test_pts) -> float:
     """Bjontegaard-style average rate difference (%) of test vs ref over
     the overlapping quality range. Points: (bpsp, mse); quality axis is
-    -10*log10(MSE); ln-rate fitted with a cubic (or lower order when
-    fewer points), integrated over the shared quality interval. A
+    -10*log10(MSE). Curves are Pareto-filtered, near-duplicate quality
+    points dropped, and ln-rate interpolated with monotone PCHIP (a
+    polynomial fit oscillates wildly on saturated RD curves). A
     single-lambda rate comparison cannot distinguish a worse model from
     a different operating point (round-2 VERDICT weak #3) — this can."""
-    def rq(pts):
-        r = np.log([p[0] for p in pts])
-        q = np.array([-10.0 * math.log10(p[1]) for p in pts])
-        order = np.argsort(q)
-        return r[order], q[order]
+    from scipy.interpolate import PchipInterpolator
 
-    lr_r, q_r = rq(ref_pts)
-    lr_t, q_t = rq(test_pts)
+    def clean(pts):
+        out, best = [], float("inf")
+        for r, m in sorted(pts):
+            if m < best - 1e-12:
+                out.append((r, m))
+                best = m
+        q = [-10.0 * math.log10(m) for _, m in out]
+        lr = [math.log(r) for r, _ in out]
+        # drop near-duplicate quality points (vertical segments)
+        qq, ll = [], []
+        for qi, li in zip(q, lr):
+            if not qq or qi > qq[-1] + 1e-3:
+                qq.append(qi)
+                ll.append(li)
+        return np.array(qq), np.array(ll)
+
+    q_r, lr_r = clean(ref_pts)
+    q_t, lr_t = clean(test_pts)
+    if len(q_r) < 2 or len(q_t) < 2:
+        return float("nan")
     lo, hi = max(q_r.min(), q_t.min()), min(q_r.max(), q_t.max())
     if hi <= lo:
         return float("nan")
-    p_r = np.polyfit(q_r, lr_r, min(3, len(q_r) - 1))
-    p_t = np.polyfit(q_t, lr_t, min(3, len(q_t) - 1))
-    ir, it = np.polyint(p_r), np.polyint(p_t)
-    avg_r = (np.polyval(ir, hi) - np.polyval(ir, lo)) / (hi - lo)
-    avg_t = (np.polyval(it, hi) - np.polyval(it, lo)) / (hi - lo)
-    return float((math.exp(avg_t - avg_r) - 1.0) * 100.0)
+    fr = PchipInterpolator(q_r, lr_r)
+    ft = PchipInterpolator(q_t, lr_t)
+    xs = np.linspace(lo, hi, 256)
+    avg = float(np.mean(ft(xs) - fr(xs)))
+    return (math.exp(avg) - 1.0) * 100.0
 
 
 # ---------------------------------------------------------------------------
