@@ -135,7 +135,11 @@ def main():
     # of timesteps, not one). Sequential latency stays in the detail dict.
     from concurrent.futures import ThreadPoolExecutor
 
-    concurrency = int(os.environ.get("BENCH_CONCURRENCY", "2"))
+    # 6-way pipelining measured best in round 3 (2.02/2.29/2.36/2.48 rps
+    # at 2/3/4/6 threads): the sorted decode kernel shortened the decode
+    # phase enough that deeper pipelines keep the device queue fed
+    # (round 2 had measured 3 threads WORSE at the old decode time)
+    concurrency = int(os.environ.get("BENCH_CONCURRENCY", "6"))
     pipe_throughput = None
     if concurrency > 1:
         def roundtrip(xi):
