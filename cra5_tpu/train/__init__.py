@@ -1,3 +1,4 @@
+from .calibrate import calibrate_entropy, calibrate_entropy_cached
 from .loss import RateDistortionLoss, rate_distortion_loss, kl_weighted_loss
 from .checkpoints import save_variables, load_variables
 from .optim import make_net_aux_optimizers, split_net_aux_params
@@ -5,6 +6,8 @@ from .ema import EmaState, ema_init, ema_update
 from .loop import Trainer, TrainerConfig, TrainState, make_train_step
 
 __all__ = [
+    "calibrate_entropy",
+    "calibrate_entropy_cached",
     "Trainer",
     "TrainerConfig",
     "TrainState",

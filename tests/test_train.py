@@ -119,3 +119,46 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.asarray(restored["params"]["dense"]["kernel"]),
         np.asarray(tree["params"]["dense"]["kernel"]),
     )
+
+
+def test_calibrate_entropy_shrinks_streams(tmp_path):
+    """Fitting h_a/h_s/EB on frozen-tower latents must cut the coded
+    size substantially (random-init streams are escape-dominated), leave
+    towers untouched, and keep the roundtrip exact."""
+    from cra5_tpu.models import VAEformerCodec
+    from cra5_tpu.train import calibrate_entropy_cached
+
+    cfg = vaeformer_tiny()
+    model = VAEformer(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.in_chans, *cfg.img_size))
+    variables = model.init(jax.random.PRNGKey(1), x)
+
+    codec0 = VAEformerCodec(model, variables, coder="v2")
+    out0 = codec0.compress(x)
+    size0 = sum(len(s) for grp in out0["strings"] for s in grp)
+
+    lat = model.apply(variables, x, method=VAEformer.encode_latent)
+    cal = calibrate_entropy_cached(
+        model, variables, [lat], cache_dir=str(tmp_path), steps=150
+    )
+    # towers frozen: g_a/g_s params bit-identical
+    for k in ("g_a", "g_s"):
+        a = jax.tree_util.tree_leaves(variables["params"][k])
+        b = jax.tree_util.tree_leaves(cal["params"][k])
+        assert all(np.array_equal(np.asarray(u), np.asarray(v)) for u, v in zip(a, b))
+
+    codec1 = VAEformerCodec(model, cal, coder="v2")
+    out1 = codec1.compress(x)
+    size1 = sum(len(s) for grp in out1["strings"] for s in grp)
+    dec = codec1.decompress(out1["strings"], out1["z_shape"])
+    assert dec["x_hat"].shape == x.shape
+    assert np.all(np.isfinite(np.asarray(dec["x_hat"], np.float32)))
+    assert size1 < 0.7 * size0, (size1, size0)
+
+    # cache hit returns the identical fitted params
+    cal2 = calibrate_entropy_cached(
+        model, variables, [lat], cache_dir=str(tmp_path), steps=150
+    )
+    a = jax.tree_util.tree_leaves(cal["params"]["h_s"])
+    b = jax.tree_util.tree_leaves(cal2["params"]["h_s"])
+    assert all(np.array_equal(np.asarray(u), np.asarray(v)) for u, v in zip(a, b))
