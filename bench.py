@@ -109,7 +109,7 @@ def main():
     # (towers frozen) so the bench measures the production operating
     # point: at raw random init the hyper path mispredicts every scale,
     # ~26% of y symbols escape-code, and streams blow up ~40x vs a
-    # trained checkpoint (4.5 MB vs ~0.1 MB) — which turns the metric
+    # trained checkpoint (4.5 MB vs the ~2-3 MB production bin) — turning the metric
     # into a tunnel-bandwidth test instead of a codec test. The
     # reference baseline (VIVT-69.json) was measured on a TRAINED model
     # at production bpp. Fitted entropy params are cached next to the
@@ -267,7 +267,9 @@ def main():
                     from cra5_tpu.models import VAEformer as _VF
                     from cra5_tpu.train import calibrate_entropy_cached
 
-                    lat159 = model159.apply(v159, x159, method=_VF.encode_latent)
+                    lat159 = jax.jit(
+                        lambda v, xi: model159.apply(v, xi, method=_VF.encode_latent)
+                    )(v159, x159)
                     v159 = calibrate_entropy_cached(
                         model159, v159, [lat159],
                         cache_dir="/tmp/jax_bench_cache",

@@ -239,6 +239,50 @@ def _decode_scan(indexes, states, stream, lut_state, lut_value, num_steps):
     return l2 >> 1, (l2 & 1) == 1
 
 
+def _merge_tiny_buckets(idx_flat: jax.Array, ncdfs: int, K: int) -> jax.Array:
+    """Deterministically remap every cdf index whose symbol count is
+    below K to the NEAREST index with count >= K (ties toward the
+    smaller index). Both coder sides compute this from the (identical)
+    index grid, so no side channel is needed beyond the container's
+    'merged' header bit. Afterwards every present bucket holds >= K
+    symbols, so every K-lane window of the sorted grid spans <= 2 cdf
+    rows — the property the gather-free sorted decode kernel requires
+    (without the merge, realistic scale distributions always carry a
+    few tiny buckets and the kernel-safe check fails, silently dropping
+    decode to the lax.scan path). Rate cost is bounded by the merged
+    symbols themselves (tiny buckets by definition), coded under a
+    neighboring scale's CDF; the escape path covers any range misses.
+    If NO bucket reaches K the remap is the identity (the encoder's
+    window-safety check then routes decode to the scan fallback)."""
+    ids = jnp.arange(ncdfs, dtype=jnp.int32)
+    counts = jnp.sum(
+        (idx_flat[:, None] == ids[None, :]).astype(jnp.int32), axis=0
+    )
+    valid = counts >= K
+    dist = jnp.abs(ids[:, None] - ids[None, :])
+    dist = jnp.where(valid[None, :], dist, ncdfs + 1)
+    nearest = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    remap = jnp.where(valid | ~jnp.any(valid), ids, nearest)
+    return remap[idx_flat]
+
+
+def _merge_tiny_buckets_np(idx_flat: np.ndarray, ncdfs: int, K: int) -> np.ndarray:
+    """Host (numpy) mirror of _merge_tiny_buckets — the pure-host decode
+    path must re-derive the identical remap (ties toward the smaller
+    index, identity when no bucket reaches K)."""
+    idx_flat = np.asarray(idx_flat, np.int32)
+    counts = np.bincount(idx_flat, minlength=ncdfs)[:ncdfs]
+    valid = counts >= K
+    if not valid.any():
+        return idx_flat
+    ids = np.arange(ncdfs, dtype=np.int32)
+    dist = np.abs(ids[:, None] - ids[None, :])
+    dist[:, ~valid] = ncdfs + 1
+    nearest = np.argmin(dist, axis=1).astype(np.int32)
+    remap = np.where(valid, ids, nearest).astype(np.int32)
+    return remap[idx_flat]
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_len", "M", "K", "use_pallas", "sort")
 )
@@ -263,6 +307,7 @@ def _encode_device(symbols_any, indexes_any, packed_cdf, idx_packed,
     n = sym_flat.shape[0]
     pad = M * K - n
     if sort:
+        idx_flat = _merge_tiny_buckets(idx_flat, idx_packed.shape[0], K)
         # one 2-operand sort carries the symbols along with the keys
         # (cheaper than sort + a separate 2.65M take: 7ms vs 24ms on v5e)
         pos_bits = max((n - 1).bit_length(), 1)
@@ -407,16 +452,20 @@ def _slicer(size: int):
 
 _SORTED_FLAG = 1 << 31  # K header bit 31: index-sorted lane assignment
 _KERNEL_SAFE_FLAG = 1 << 30  # K bit 30: every step spans <= 2 cdf rows
+_MERGED_FLAG = 1 << 29  # K bit 29: tiny cdf buckets merged (both sides
+# re-derive the identical remap from the index grid; see
+# _merge_tiny_buckets). Old sorted streams have the bit clear and
+# decode without the merge.
 
 
 def _parse_v2_header(data: bytes):
     """Validate and parse a v2 container header. Raises ValueError on any
     malformed field instead of letting np.frombuffer fail mid-parse (or
     worse, silently decode garbage from a truncated buffer). Returns
-    (n, K, n_esc, n_words, sorted_mode, kernel_safe) — bit 31 of the K
-    field marks the index-sorted lane assignment and bit 30 the encoder's
-    window-safety verdict for the gather-free decode kernel (see
-    LaneCoder sorted mode)."""
+    (n, K, n_esc, n_words, sorted_mode, kernel_safe, merged) — bit 31
+    of the K field marks the index-sorted lane assignment, bit 30 the
+    encoder's window-safety verdict for the gather-free decode kernel,
+    and bit 29 the tiny-bucket merge (see LaneCoder sorted mode)."""
     if len(data) < 20:
         raise ValueError("truncated CRX2 stream: missing header")
     magic, n, K, n_esc, n_words = struct.unpack_from("<IIIII", data, 0)
@@ -424,7 +473,8 @@ def _parse_v2_header(data: bytes):
         raise ValueError("not a CRX2 (format v2) stream")
     sorted_mode = bool(K & _SORTED_FLAG)
     kernel_safe = bool(K & _KERNEL_SAFE_FLAG)
-    K &= ~(_SORTED_FLAG | _KERNEL_SAFE_FLAG)
+    merged = bool(K & _MERGED_FLAG)
+    K &= ~(_SORTED_FLAG | _KERNEL_SAFE_FLAG | _MERGED_FLAG)
     if not 1 <= K <= (1 << 20):
         raise ValueError(f"implausible lane count K={K}")
     if n > (1 << 30) or n_esc > n + K:
@@ -434,7 +484,7 @@ def _parse_v2_header(data: bytes):
         raise ValueError(
             f"truncated CRX2 stream: header promises {need} bytes, got {len(data)}"
         )
-    return n, K, n_esc, n_words, sorted_mode, kernel_safe
+    return n, K, n_esc, n_words, sorted_mode, kernel_safe, merged
 
 
 def _padded_index_grid(indexes_any, M, K):
@@ -462,18 +512,23 @@ def _apply_escapes(values, sentinel, esc_vals, n, idx_shape, has_esc):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("M", "K", "has_esc", "pos_bits", "G", "Lc", "use_kernel"),
+    static_argnames=(
+        "M", "K", "has_esc", "pos_bits", "G", "Lc", "use_kernel", "merged"
+    ),
 )
 def _decode_sorted_device(indexes_any, states, stream, esc_vals,
                           coarse_tab, chunkT_tab, lut_state, lut_value,
                           max_values, offsets,
-                          M, K, has_esc, pos_bits, G, Lc, use_kernel):
+                          M, K, has_esc, pos_bits, G, Lc, use_kernel,
+                          merged=False):
     """Decode an index-sorted v2 stream: derive the encoder's permutation
     from the (identical) index grid with one sort, decode in sorted order
     — through the gather-free Pallas kernel when routable, else the
     generic packed-LUT lax.scan — and un-permute with a second 2-operand
     sort (cheaper than a 2.65M scatter: ~7ms vs ~12ms on v5e)."""
     idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
+    if merged:  # header bit 29: re-derive the encoder's bucket remap
+        idx_flat = _merge_tiny_buckets(idx_flat, max_values.shape[0], K)
     n = idx_flat.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     key = (idx_flat << pos_bits) | iota
@@ -698,11 +753,12 @@ class LaneCoder:
         return self._sorted_tabs
 
     def _decode_sorted(self, indexes, states, stream, esc_vals, M, K,
-                       has_esc, kernel_safe=False) -> jax.Array:
+                       has_esc, kernel_safe=False, merged=False) -> jax.Array:
         """Decode one index-sorted stream against device-resident indexes.
         ``kernel_safe`` is the encoder's header verdict that every scan
         step spans <= 2 cdf rows; without it the sorted stream decodes on
-        the generic packed-LUT lax.scan."""
+        the generic packed-LUT lax.scan. ``merged`` (header bit 29)
+        re-derives the encoder's tiny-bucket remap before sorting."""
         n = int(np.prod(indexes.shape))
         pos_bits = max((n - 1).bit_length(), 1)
         use_kernel = kernel_safe and self._sorted_kernel_ok(
@@ -720,7 +776,7 @@ class LaneCoder:
             indexes, states, stream, esc_vals,
             coarse_tab, chunkT_tab, ls, lv,
             self._max_values, self._offsets,
-            M, K, has_esc, pos_bits, G, Lc, use_kernel,
+            M, K, has_esc, pos_bits, G, Lc, use_kernel, merged,
         )
 
     def _pallas_decode_ok(self, K: int, stream_len: int) -> bool:
@@ -898,7 +954,9 @@ class LaneCoder:
             esc_val = np.asarray(escs[:ne], np.int32)
             kf = K
             if h[9]:
-                kf |= _SORTED_FLAG | (_KERNEL_SAFE_FLAG if int(safe) else 0)
+                kf |= _SORTED_FLAG | _MERGED_FLAG | (
+                    _KERNEL_SAFE_FLAG if int(safe) else 0
+                )
             header = struct.pack("<IIIII", MAGIC, n, kf, ne, nw)
             results[pos] = b"".join([
                 header,
@@ -926,19 +984,22 @@ class LaneCoder:
         headers = [_parse_v2_header(_unwrap_bytes(d)) for d in datas]
         if n is None:
             n = headers[0][0]
-        for hn, K, n_esc, n_words, _, _ in headers:
+        for hn, K, n_esc, n_words, _, _, _ in headers:
             if hn != n:
                 raise ValueError(f"symbol count mismatch: stream {hn}, indexes {n}")
         K = headers[0][1]
         sorted_mode = headers[0][4]
-        if any(h[1] != K or h[4] != sorted_mode for h in headers):
+        merged = headers[0][6]
+        if any(
+            h[1] != K or h[4] != sorted_mode or h[6] != merged for h in headers
+        ):
             return ("mixed", datas)  # foreign producer: per-item fallback
         W = _bucket(max(max(h[3] for h in headers), 1))
         E = _bucket(max(max(h[2] for h in headers), 1))
         states = np.zeros((B, K), np.uint32)
         stream = np.zeros((B, W), np.uint16)
         escs = np.zeros((B, E), np.int32)
-        for b, (d, (_, _, n_esc, n_words, _, _)) in enumerate(zip(datas, headers)):
+        for b, (d, (_, _, n_esc, n_words, _, _, _)) in enumerate(zip(datas, headers)):
             d = _unwrap_bytes(d)
             off = 20
             states[b] = np.frombuffer(d, "<u4", K, off); off += 4 * K
@@ -950,11 +1011,11 @@ class LaneCoder:
         if B == 1:  # unbatched buffers: reuses the single-sample compiled
             # scan and avoids eager device-array slicing at decode time
             return (
-                "v2x1", n, K, has_esc, sorted_mode, safes,
+                "v2x1", n, K, has_esc, sorted_mode, safes, merged,
                 jnp.asarray(states[0]), jnp.asarray(stream[0]), jnp.asarray(escs[0]),
             )
         return (
-            "v2", n, K, has_esc, sorted_mode, safes,
+            "v2", n, K, has_esc, sorted_mode, safes, merged,
             jnp.asarray(states), jnp.asarray(stream), jnp.asarray(escs),
         )
 
@@ -966,7 +1027,7 @@ class LaneCoder:
                 [self.decode_to_device(_unwrap_bytes(d), indexes[i])
                  for i, d in enumerate(handle[1])]
             )
-        kind, n, K, has_esc, sorted_mode, safes, states, stream, escs = handle
+        kind, n, K, has_esc, sorted_mode, safes, merged, states, stream, escs = handle
         if int(np.prod(indexes.shape[1:])) != n:
             raise ValueError(
                 f"symbol count mismatch: stream {n}, indexes {indexes.shape[1:]}"
@@ -976,11 +1037,11 @@ class LaneCoder:
             if kind != "v2x1":
                 return jnp.stack([
                     self._decode_sorted(indexes[b], states[b], stream[b],
-                                        escs[b], M, K, has_esc, safes[b])
+                                        escs[b], M, K, has_esc, safes[b], merged)
                     for b in range(indexes.shape[0])
                 ])
             return self._decode_sorted(
-                indexes[0], states, stream, escs, M, K, has_esc, safes[0]
+                indexes[0], states, stream, escs, M, K, has_esc, safes[0], merged
             )[None]
         # single-sample only: the vmapped batch path keeps the lax.scan
         # state machine (batching a Pallas grid is not worth the risk for
@@ -1021,7 +1082,7 @@ class LaneCoder:
         channel-broadcast index grid (each scan step's values within
         {step-first, step-max, 0}, guaranteed when K <= the count) and
         routes through the gather-free Pallas kernel on TPU."""
-        n, K, n_esc, n_words, sorted_mode, kernel_safe = _parse_v2_header(data)
+        n, K, n_esc, n_words, sorted_mode, kernel_safe, merged = _parse_v2_header(data)
         if n != int(np.prod(indexes.shape)):
             raise ValueError(f"symbol count mismatch: stream {n}, indexes {indexes.shape}")
         off = 20
@@ -1042,7 +1103,7 @@ class LaneCoder:
                 jnp.asarray(states),
                 jnp.asarray(stream.astype(np.uint16)),
                 jnp.asarray(esc_padded),
-                M, K, n_esc > 0, kernel_safe,
+                M, K, n_esc > 0, kernel_safe, merged,
             )
         if row_plan and self._rowplan_ok(K, int(row_plan)):
             self._validate_rowplan(indexes, K)
@@ -1081,7 +1142,7 @@ class LaneCoder:
     def decode(self, data: bytes, indexes: np.ndarray) -> np.ndarray:
         indexes_arr = np.asarray(indexes)
         indexes = np.ascontiguousarray(indexes_arr.reshape(-1), np.int32)
-        n, K, n_esc, n_words, sorted_mode, _ = _parse_v2_header(data)
+        n, K, n_esc, n_words, sorted_mode, _, merged = _parse_v2_header(data)
         if n != indexes.size:
             raise ValueError(f"symbol count mismatch: stream {n}, indexes {indexes.size}")
         off = 20
@@ -1097,6 +1158,10 @@ class LaneCoder:
         if sorted_mode:
             # reproduce the encoder's stable index sort host-side (unique
             # packed keys give the identical total order)
+            if merged:  # header bit 29: re-derive the tiny-bucket remap
+                indexes = _merge_tiny_buckets_np(
+                    indexes, len(self._max_values), K
+                )
             pos_bits = max((n - 1).bit_length(), 1)
             key = (indexes.astype(np.int64) << pos_bits) | np.arange(n)
             skey = np.sort(key)

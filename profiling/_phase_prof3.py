@@ -4,7 +4,7 @@ tunneled runtime — round-2's profiler overstated nothing only by luck).
 Each phase chain is timed cumulatively and differenced, which cancels
 the per-measurement sync RTT. Also A/Bs the y-decode with sorted lanes
 off/on inside one process."""
-import sys, time
+import os, sys, time
 
 sys.path.insert(0, "/root/repo")
 import numpy as np
@@ -28,6 +28,17 @@ x = jax.random.normal(rng, (1, cfg.in_chans, *cfg.img_size), jnp.float32)
 variables = jax.jit(model.init)(rng, x)
 jax.device_get(jax.tree_util.tree_leaves(variables)[0][..., :1])
 print("init done", flush=True)
+
+if os.environ.get("CAL", "0") == "1":  # entropy-side calibration first
+    from cra5_tpu.train import calibrate_entropy_cached
+
+    lat = jax.jit(lambda v, xi: model.apply(v, xi, method=VAEformer.encode_latent))(
+        variables, x
+    )
+    variables = calibrate_entropy_cached(
+        model, variables, [lat, lat], cache_dir=None, steps=600
+    )
+    print("calibrated", flush=True)
 
 
 def sync(o):

@@ -131,7 +131,7 @@ def test_v2_bad_magic_and_fields(v2_setup):
 
 def test_v2_truncated_escape_channel(v2_setup):
     table, coder, sym, idx, data = v2_setup
-    n, K, n_esc, n_words, _, _ = _parse_v2_header(data)
+    n, K, n_esc, n_words, _, _, _ = _parse_v2_header(data)
     assert n_esc > 0
     body_end = 20 + 4 * K + 2 * n_words
     # drop the escape varints entirely
@@ -142,7 +142,7 @@ def test_v2_truncated_escape_channel(v2_setup):
 def test_v2_stream_bitflips_never_crash(v2_setup):
     table, coder, sym, idx, data = v2_setup
     rng = np.random.default_rng(3)
-    n, K, n_esc, n_words, _, _ = _parse_v2_header(data)
+    n, K, n_esc, n_words, _, _, _ = _parse_v2_header(data)
     for _ in range(15):
         buf = bytearray(data)
         # flip within the word stream / states (past the header)

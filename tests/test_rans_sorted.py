@@ -25,7 +25,8 @@ def test_sorted_flag_roundtrip_header(sorted_on, rng):
     sym, idx = sample_symbols(rng, table, 4000, escape_frac=0.05)
     coder = LaneCoder(table, num_lanes=128)
     data = coder.encode(sym, idx)
-    n, K, n_esc, n_words, sorted_mode, safe = _parse_v2_header(data)
+    n, K, n_esc, n_words, sorted_mode, safe, merged = _parse_v2_header(data)
+    assert merged  # new sorted streams always carry the merge bit
     assert sorted_mode and (n, K) == (4000, 128)
     assert np.array_equal(coder.decode(data, idx), sym)
 
@@ -78,7 +79,7 @@ def test_sorted_single_index_stream(sorted_on, rng):
     sym = (bins + table.offset[7]).astype(np.int32)
     coder = LaneCoder(table, num_lanes=256)
     data = coder.encode(sym, idx)
-    assert _parse_v2_header(data)[4:] == (True, True)
+    assert _parse_v2_header(data)[4:] == (True, True, True)
     assert np.array_equal(
         np.asarray(coder.decode_to_device(data, jnp.asarray(idx))), sym
     )
@@ -99,6 +100,46 @@ def test_sorted_batch_upload_decode(sorted_on, rng):
         coder.decode_uploaded_batch(coder.upload_batch(datas), idx_b)
     )
     assert np.array_equal(out, np.stack(syms))
+
+
+def test_tiny_bucket_merge_makes_kernel_safe(sorted_on, rng):
+    """Realistic scale grids carry a few sub-K buckets; the deterministic
+    merge (header bit 29) folds them into the nearest dense bucket so the
+    stream stays kernel-safe, and both decode paths recover the symbols
+    (escapes cover any range misses under the merged row)."""
+    table = make_table(rng, ncdfs=8, max_bins=48)
+    K = 256
+    # 6 dense buckets + two tiny ones (3 and 5 symbols, < K each)
+    idx = np.concatenate([
+        np.repeat(np.array([0, 1, 3, 4, 6, 7], np.int32), 4000),
+        np.full(3, 2, np.int32),
+        np.full(5, 5, np.int32),
+    ])
+    rng.shuffle(idx)
+    sym = np.empty(idx.size, np.int32)
+    for i in range(8):
+        m = idx == i
+        mv = int(table.cdf_length[i] - 2)
+        sym[m] = (rng.random(m.sum()) * mv).astype(np.int32) + int(table.offset[i])
+    coder = LaneCoder(table, num_lanes=K)
+    data = coder.encode(sym, idx)
+    n, _, n_esc, _, sorted_mode, safe, merged = _parse_v2_header(data)
+    assert sorted_mode and merged and safe  # merge rescued kernel routing
+    assert np.array_equal(coder.decode(data, idx), sym)
+    assert np.array_equal(
+        np.asarray(coder.decode_to_device(data, jnp.asarray(idx))), sym
+    )
+
+
+def test_tiny_bucket_merge_identity_when_all_sparse(sorted_on, rng):
+    """When no bucket reaches K the remap is the identity and the encoder
+    falls back to the (correct) unsafe verdict."""
+    table = make_table(rng, ncdfs=64, max_bins=12)
+    sym, idx = sample_symbols(rng, table, 2000, escape_frac=0.0)
+    coder = LaneCoder(table, num_lanes=512)
+    data = coder.encode(sym, idx)
+    assert _parse_v2_header(data)[5] is False
+    assert np.array_equal(coder.decode(data, idx), sym)
 
 
 def test_sorted_mode_off_stays_unsorted(rng):
