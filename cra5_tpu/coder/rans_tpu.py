@@ -239,7 +239,7 @@ def _decode_scan(indexes, states, stream, lut_state, lut_value, num_steps):
     return l2 >> 1, (l2 & 1) == 1
 
 
-def _merge_tiny_buckets(idx_flat: jax.Array, ncdfs: int, K: int) -> jax.Array:
+def _merge_tiny_buckets(idx_sorted: jax.Array, ncdfs: int, K: int) -> jax.Array:
     """Deterministically remap every cdf index whose symbol count is
     below K to the NEAREST index with count >= K (ties toward the
     smaller index). Both coder sides compute this from the (identical)
@@ -253,34 +253,41 @@ def _merge_tiny_buckets(idx_flat: jax.Array, ncdfs: int, K: int) -> jax.Array:
     symbols themselves (tiny buckets by definition), coded under a
     neighboring scale's CDF; the escape path covers any range misses.
     If NO bucket reaches K the remap is the identity (the encoder's
-    window-safety check then routes decode to the scan fallback)."""
+    window-safety check then routes decode to the scan fallback).
+
+    ``idx_sorted`` must be NONDECREASING (both sides relabel AFTER the
+    index sort): bucket counts come from ncdfs+1 binary searches instead
+    of an O(n*ncdfs) one-hot reduction, and the nearest-dense remap is
+    monotone — for i1 < i2 mapping to a > b, i1 must sit strictly above
+    (a+b)/2 and i2 at or below it, a contradiction — so the relabeled
+    sequence stays nondecreasing and the downstream window math holds."""
     ids = jnp.arange(ncdfs, dtype=jnp.int32)
-    counts = jnp.sum(
-        (idx_flat[:, None] == ids[None, :]).astype(jnp.int32), axis=0
-    )
+    bounds = jnp.searchsorted(idx_sorted, jnp.arange(ncdfs + 1, dtype=jnp.int32))
+    counts = jnp.diff(bounds)
     valid = counts >= K
     dist = jnp.abs(ids[:, None] - ids[None, :])
     dist = jnp.where(valid[None, :], dist, ncdfs + 1)
     nearest = jnp.argmin(dist, axis=1).astype(jnp.int32)
     remap = jnp.where(valid | ~jnp.any(valid), ids, nearest)
-    return remap[idx_flat]
+    return remap[idx_sorted]
 
 
-def _merge_tiny_buckets_np(idx_flat: np.ndarray, ncdfs: int, K: int) -> np.ndarray:
+def _merge_tiny_buckets_np(idx_sorted: np.ndarray, ncdfs: int, K: int) -> np.ndarray:
     """Host (numpy) mirror of _merge_tiny_buckets — the pure-host decode
     path must re-derive the identical remap (ties toward the smaller
-    index, identity when no bucket reaches K)."""
-    idx_flat = np.asarray(idx_flat, np.int32)
-    counts = np.bincount(idx_flat, minlength=ncdfs)[:ncdfs]
+    index, identity when no bucket reaches K). Input must be sorted."""
+    idx_sorted = np.asarray(idx_sorted, np.int32)
+    bounds = np.searchsorted(idx_sorted, np.arange(ncdfs + 1))
+    counts = np.diff(bounds)
     valid = counts >= K
     if not valid.any():
-        return idx_flat
+        return idx_sorted
     ids = np.arange(ncdfs, dtype=np.int32)
     dist = np.abs(ids[:, None] - ids[None, :])
     dist[:, ~valid] = ncdfs + 1
     nearest = np.argmin(dist, axis=1).astype(np.int32)
     remap = np.where(valid, ids, nearest).astype(np.int32)
-    return remap[idx_flat]
+    return remap[idx_sorted]
 
 
 @functools.partial(
@@ -307,14 +314,15 @@ def _encode_device(symbols_any, indexes_any, packed_cdf, idx_packed,
     n = sym_flat.shape[0]
     pad = M * K - n
     if sort:
-        idx_flat = _merge_tiny_buckets(idx_flat, idx_packed.shape[0], K)
         # one 2-operand sort carries the symbols along with the keys
         # (cheaper than sort + a separate 2.65M take: 7ms vs 24ms on v5e)
         pos_bits = max((n - 1).bit_length(), 1)
         iota = jnp.arange(n, dtype=jnp.int32)
         key = (idx_flat << pos_bits) | iota
         skey, sym_flat = jax.lax.sort((key, sym_flat), num_keys=1)
-        idx_flat = skey >> pos_bits
+        idx_flat = _merge_tiny_buckets(
+            skey >> pos_bits, idx_packed.shape[0], K
+        )
     if pad:
         if sort:
             # pad with the LAST (max) index so the padded sorted sequence
@@ -527,14 +535,14 @@ def _decode_sorted_device(indexes_any, states, stream, esc_vals,
     generic packed-LUT lax.scan — and un-permute with a second 2-operand
     sort (cheaper than a 2.65M scatter: ~7ms vs ~12ms on v5e)."""
     idx_flat = jnp.ravel(indexes_any).astype(jnp.int32)
-    if merged:  # header bit 29: re-derive the encoder's bucket remap
-        idx_flat = _merge_tiny_buckets(idx_flat, max_values.shape[0], K)
     n = idx_flat.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     key = (idx_flat << pos_bits) | iota
     skey = jnp.sort(key)
     perm = skey & ((1 << pos_bits) - 1)
     sidx = skey >> pos_bits
+    if merged:  # header bit 29: re-derive the encoder's bucket remap
+        sidx = _merge_tiny_buckets(sidx, max_values.shape[0], K)
     pad = M * K - n
     if pad:
         sidx_p = jnp.concatenate(
@@ -1158,15 +1166,15 @@ class LaneCoder:
         if sorted_mode:
             # reproduce the encoder's stable index sort host-side (unique
             # packed keys give the identical total order)
-            if merged:  # header bit 29: re-derive the tiny-bucket remap
-                indexes = _merge_tiny_buckets_np(
-                    indexes, len(self._max_values), K
-                )
             pos_bits = max((n - 1).bit_length(), 1)
             key = (indexes.astype(np.int64) << pos_bits) | np.arange(n)
             skey = np.sort(key)
             perm = (skey & ((1 << pos_bits) - 1)).astype(np.int64)
             indexes = (skey >> pos_bits).astype(np.int32)
+            if merged:  # header bit 29: re-derive the tiny-bucket remap
+                indexes = _merge_tiny_buckets_np(
+                    indexes, int(self._max_values.shape[0]), K
+                )
             idx_p = (
                 np.concatenate([indexes, np.full(pad, indexes[-1], np.int32)])
                 if pad
