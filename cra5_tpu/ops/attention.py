@@ -48,17 +48,30 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     n_pad = k_ref.shape[1]
     num_k = n_pad // block_k
 
-    q = q_ref[0].astype(jnp.float32) * scale
+    # Dots run in the INPUT dtype with f32 accumulation: upcasting the
+    # operands to f32 quartered the MXU rate (measured 36 TF/s vs the
+    # chip's ~93-120 on fat bf16 matmuls) while buying nothing — the
+    # einsum reference path also feeds bf16 operands into an f32-accum
+    # dot. Softmax statistics (max/exp/sum, m/l carries) stay f32.
+    # Pre-scaling q folds the softmax scale into one (block_q, D) pass
+    # instead of a (block_q, block_k) multiply every iteration.
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
 
-    def body(kb, carry):
+    def step(kb, carry, masked):
+        # The key-padding mask only concerns the one partial tail block
+        # (``masked``); full blocks skip the iota/compare/select VPU
+        # passes — the kernel is softmax/VPU-bound, not matmul-bound.
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(kpos < seq_len, logits, _NEG_INF)
+        if masked:
+            kpos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1
+            )
+            logits = jnp.where(kpos < seq_len, logits, _NEG_INF)
 
         m_cur = jnp.max(logits, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -66,14 +79,21 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+    num_full = min(seq_len // block_k, num_k)
+    carry = jax.lax.fori_loop(
+        0, num_full, lambda kb, c: step(kb, c, masked=False), (acc0, m0, l0)
+    )
+    for kb in range(num_full, num_k):  # static tail: at most one block
+        carry = step(kb, carry, masked=True)
+    acc, m, l = carry
     l = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(l)
@@ -124,29 +144,45 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     n_pad = k_ref.shape[1]
     num_k = n_pad // block_k
 
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # Input-dtype dots, f32 accumulation/statistics (see _fwd_kernel —
+    # f32 operands quarter the MXU rate; the residuals arrive bf16).
+    # q is pre-scaled for the logits dot (one (block_q, D) pass instead
+    # of a (block_q, block_k) multiply per iteration); it has no other
+    # use in this kernel — the trailing dq * scale is the chain-rule
+    # factor, not a use of q.
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    do = do_ref[0]
     lse = lse_ref[0]      # (block_q, 1)
     delta = delta_ref[0]  # (block_q, 1)
 
-    def body(kb, dq):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+    def step(kb, dq, masked):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(kpos < seq_len, logits, _NEG_INF)
+        )
+        if masked:  # only the one partial tail block needs the key mask
+            kpos = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1
+            )
+            logits = jnp.where(kpos < seq_len, logits, _NEG_INF)
         p = jnp.exp(logits - lse)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
         return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
 
-    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((block_q, d), jnp.float32))
+    num_full = min(seq_len // block_k, num_k)
+    dq = jax.lax.fori_loop(
+        0, num_full, lambda kb, c: step(kb, c, masked=False),
+        jnp.zeros((block_q, d), jnp.float32),
+    )
+    for kb in range(num_full, num_k):  # static tail: at most one block
+        dq = step(kb, dq, masked=True)
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
@@ -158,15 +194,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     rows have zero dO and zero delta, so they contribute nothing."""
     _, block_k, d = k_ref.shape
 
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
     kb = pl.program_id(1)
     qb = pl.program_id(2)
     kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     kmask = kpos < seq_len  # (1, block_k)
 
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # Input-dtype dots, f32 accumulation/statistics (see _fwd_kernel).
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0]      # (block_q, 1)
     delta = delta_ref[0]  # (block_q, 1)
 
@@ -176,14 +213,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     logits = jnp.where(kmask, logits, _NEG_INF)
     p = jnp.exp(logits - lse)  # (block_q, block_k)
     dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(do.dtype), do,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     ds = p * (dp - delta)
     dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(q.dtype), q,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ) * scale
 
     @pl.when(qb == 0)
