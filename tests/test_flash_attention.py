@@ -30,6 +30,20 @@ def test_flash_matches_reference_padded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_bf16_inputs_match_f32_reference():
+    """bf16 q/k/v: the dots run in bf16 with f32 accumulation (the
+    tower configuration); result must track the f32 reference within
+    bf16 operand rounding."""
+    q, k, v = _qkv(N=200, D=32, seed=4)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    out = flash_attention(qb, kb, vb, None, 128, 128)
+    ref = _reference_attention(q, k, v, q.shape[-1] ** -0.5)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)), np.asarray(ref), atol=2e-2
+    )
+
+
 def test_flash_custom_scale():
     q, k, v = _qkv(N=128, D=32, seed=2)
     out = flash_attention(q, k, v, 0.25, 128, 128)
