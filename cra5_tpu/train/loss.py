@@ -3,8 +3,9 @@ and the KL-weighted VAE loss.
 
 Capability parity with the reference RateDistortionLoss
 (/root/reference/cra5/models/compressai/losses/rate_distortion.py:40-92):
-bpp from likelihoods (-log2 sum / num_pixels), lambda*MSE or per-channel
-learned log-variance weighting; the external ``nwp`` KL loss
+bpp from likelihoods (-log2 sum / num_pixels), lambda*MSE or
+lambda*(1 - MS-SSIM) distortion, or per-channel learned log-variance
+weighting; the external ``nwp`` KL loss
 (vaeformer.py:248-250) is implemented natively as ``kl_weighted_loss``.
 """
 
@@ -12,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,9 @@ class RateDistortionLoss:
     bpp_weight: float = 0.01
     metric: str = "mse"
     learn_log_variance: bool = False
+    # MS-SSIM scale weights; fewer than the 5 defaults for images smaller
+    # than 176 px (metrics.ms_ssim docstring)
+    ms_ssim_weights: Optional[Sequence[float]] = None
 
     def __call__(
         self,
@@ -50,10 +54,20 @@ class RateDistortionLoss:
                 out["mse_loss"] = self.lmbda * jnp.mean(
                     jnp.square(target - output["x_hat"])
                 )
+        elif self.metric in ("ms-ssim", "ms_ssim"):
+            from ..metrics import _MSSSIM_WEIGHTS, ms_ssim
+
+            out["ms_ssim_loss"] = self.lmbda * (
+                1.0 - ms_ssim(
+                    output["x_hat"], target,
+                    weights=self.ms_ssim_weights or _MSSSIM_WEIGHTS,
+                )
+            )
         else:
             raise NotImplementedError(f"metric {self.metric!r}")
 
-        out["loss"] = out["bpp_loss"] + out["mse_loss"]
+        dist_key = "mse_loss" if self.metric == "mse" else "ms_ssim_loss"
+        out["loss"] = out["bpp_loss"] + out[dist_key]
         return out
 
 

@@ -36,6 +36,29 @@ def test_rd_loss_values():
     assert abs(float(losses["mse_loss"]) - 0.25) < 1e-5
 
 
+def test_rd_loss_ms_ssim_metric():
+    """MS-SSIM distortion mode (reference rate_distortion.py:75-79):
+    perfect reconstruction scores ~0 distortion, a noisy one scores more,
+    and the loss is differentiable."""
+    rd = RateDistortionLoss(lmbda=1.0, bpp_weight=1.0, metric="ms-ssim",
+                            ms_ssim_weights=(0.4, 0.6))
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (1, 2, 32, 32))
+    lik = {"y": jnp.full((1, 2, 32, 32), 0.5)}
+    perfect = rd({"x_hat": x, "likelihoods": lik}, x)
+    assert abs(float(perfect["ms_ssim_loss"])) < 1e-5
+    noisy_hat = x + 0.2 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    noisy = rd({"x_hat": noisy_hat, "likelihoods": lik}, x)
+    assert float(noisy["ms_ssim_loss"]) > 0.01
+    assert float(noisy["loss"]) == pytest.approx(
+        float(noisy["bpp_loss"]) + float(noisy["ms_ssim_loss"])
+    )
+    g = jax.grad(
+        lambda xh: rd({"x_hat": xh, "likelihoods": lik}, x)["loss"]
+    )(noisy_hat)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
 def test_net_aux_split_labels():
     cfg = vaeformer_tiny()
     model = VAEformer(cfg)
