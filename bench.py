@@ -63,7 +63,18 @@ def _run_hw_tests():
     print("[bench] hardware tests passed", file=sys.stderr, flush=True)
 
 
+def _beat(label):
+    """Heartbeat for the attach watchdog (see _watchdog)."""
+    path = os.environ.get("BENCH_HEARTBEAT")
+    if path:
+        with open(path, "w") as f:
+            f.write(label)
+
+
 def main():
+    if os.environ.get("BENCH_WEDGE_SIM", "0") == "1":  # watchdog test hook
+        time.sleep(3600)
+
     import jax
 
     if os.environ.get("BENCH_HW_TESTS", "0") == "1":
@@ -75,6 +86,12 @@ def main():
     # lacks - reloading them risks SIGILL (keep only the HLO-level cache)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # touch the backend NOW: the tunneled TPU attach intermittently wedges
+    # (hangs forever in backend init with zero CPU use); surfacing it here,
+    # before any compile, lets the watchdog see the stall and restart us
+    jax.devices()
+    _beat("attached")
 
     import jax.numpy as jnp
 
@@ -427,5 +444,66 @@ def main():
     )
 
 
+def _watchdog():
+    """Run main() in a child process and restart it if the TPU attach
+    wedges. The tunneled backend intermittently hangs forever inside
+    device attach (~50% of launches in a bad period; the process sits at
+    zero CPU and never returns from jax.devices()). A killed client needs
+    minutes before the next attach succeeds, so retries back off. The
+    child signals a successful attach by writing the BENCH_HEARTBEAT
+    file; after that the watchdog just waits for it."""
+    import signal
+    import subprocess
+
+    hb = f"/tmp/bench_hb_{os.getpid()}"
+    attach_timeout = float(os.environ.get("BENCH_ATTACH_TIMEOUT", "420"))
+    if os.environ.get("BENCH_HW_TESTS", "0") == "1":
+        attach_timeout += 900.0  # hw tests attach (and can wedge) first
+    tries = int(os.environ.get("BENCH_ATTACH_TRIES", "6"))
+    cooldown_base = float(os.environ.get("BENCH_ATTACH_COOLDOWN", "180"))
+    env = dict(os.environ, BENCH_NO_WATCHDOG="1", BENCH_HEARTBEAT=hb)
+
+    for attempt in range(tries):
+        if os.path.exists(hb):
+            os.unlink(hb)
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, start_new_session=True,
+        )
+        deadline = time.time() + attach_timeout
+        attached = False
+        while True:
+            rc = child.poll()
+            if rc is not None:
+                sys.exit(rc)  # finished (either way) before/after attach
+            if os.path.exists(hb):
+                attached = True
+                break
+            if time.time() > deadline:
+                break
+            time.sleep(5)
+        if attached:
+            sys.exit(child.wait())
+        cooldown = cooldown_base * (1 + 0.67 * attempt)
+        print(
+            f"[bench] attach wedge: no heartbeat in {attach_timeout:.0f}s "
+            f"(attempt {attempt + 1}/{tries}); killing pgid and retrying "
+            f"in {cooldown}s",
+            file=sys.stderr, flush=True,
+        )
+        try:
+            os.killpg(child.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        child.wait()
+        if attempt + 1 < tries:
+            time.sleep(cooldown)
+    print(json.dumps({"error": f"TPU attach wedged {tries} times"}))
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_NO_WATCHDOG", "0") == "1":
+        main()
+    else:
+        _watchdog()

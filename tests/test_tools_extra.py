@@ -1,6 +1,7 @@
 """Video eval, ERA5 JPEG2000 baseline, recompression fan-out, profiling."""
 
 import json
+import os
 
 import jax
 import numpy as np
@@ -182,3 +183,31 @@ def test_acc_metric():
     # anti-correlated forecast -> ACC -1
     anti = np.asarray(acc(clim - anom, target, clim))
     np.testing.assert_allclose(anti, -1.0, atol=1e-5)
+
+
+def test_bench_watchdog_detects_wedge(tmp_path):
+    """bench.py's attach watchdog kills a child that never heartbeats and
+    reports a clean error JSON after the configured retries (the tunneled
+    TPU backend intermittently hangs forever inside device attach)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        BENCH_WEDGE_SIM="1",
+        BENCH_ATTACH_TIMEOUT="2",
+        BENCH_ATTACH_TRIES="2",
+        BENCH_ATTACH_COOLDOWN="1",
+    )
+    env.pop("BENCH_NO_WATCHDOG", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=120,
+        cwd=repo,
+    )
+    assert r.returncode == 1
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "wedged" in out["error"]
+    assert r.stderr.count("attach wedge") == 2
