@@ -100,18 +100,33 @@ def main(argv=None):
     state = None
     if args.resume:
         import itertools
+        import os
 
         from ..train.checkpoints import load_variables
 
-        variables = load_variables(args.resume)
         # peek ONE batch from the single live iterator and chain it back —
         # a second iter(data) would race a fresh producer thread against
         # the same underlying generator and drop the peeked batch
         it = iter(data)
         first = next(it)
         data = itertools.chain([first], it)
-        state = trainer.init_state(trainer.shard_batch(first))
-        state.params = variables["params"] if "params" in variables else variables
+        resume = args.resume
+        if os.path.isdir(resume) and os.path.exists(
+            os.path.join(resume, "last_state")
+        ):
+            from ..train.checkpoints import resolve_last_checkpoint
+
+            state = trainer.restore(  # full state: moments + EMA + step
+                first, path=resolve_last_checkpoint(resume, "last_state")
+            )
+        elif os.path.basename(resume).startswith("state_"):
+            state = trainer.restore(first, path=resume)
+        else:
+            # params-only checkpoint (e.g. a converted reference .pth):
+            # optimizer/EMA restart fresh
+            variables = load_variables(resume)
+            state = trainer.init_state(trainer.shard_batch(first))
+            state.params = variables["params"] if "params" in variables else variables
 
     steps = args.steps if args.steps is not None else cfg.get("steps", 100)
     state = trainer.fit(data, state=state, num_steps=steps)

@@ -1,6 +1,11 @@
 from .calibrate import calibrate_entropy, calibrate_entropy_cached
 from .loss import RateDistortionLoss, rate_distortion_loss, kl_weighted_loss
-from .checkpoints import save_variables, load_variables
+from .checkpoints import (
+    save_variables,
+    load_variables,
+    save_train_state,
+    load_train_state,
+)
 from .optim import make_net_aux_optimizers, split_net_aux_params
 from .ema import EmaState, ema_init, ema_update
 from .loop import Trainer, TrainerConfig, TrainState, make_train_step
@@ -17,6 +22,8 @@ __all__ = [
     "kl_weighted_loss",
     "save_variables",
     "load_variables",
+    "save_train_state",
+    "load_train_state",
     "make_net_aux_optimizers",
     "split_net_aux_params",
     "EmaState",

@@ -53,17 +53,84 @@ def load_variables(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[s
     return ckptr.restore(os.path.abspath(path), target)
 
 
-def resolve_last_checkpoint(ckpt_dir: str) -> str:
+def resolve_last_checkpoint(ckpt_dir: str, pointer_name: str = "last_checkpoint") -> str:
     """Follow a ``last_checkpoint`` pointer file (reference
     vaeformer.py:187-201 init_from_ckpt)."""
-    pointer = os.path.join(ckpt_dir, "last_checkpoint")
+    pointer = os.path.join(ckpt_dir, pointer_name)
     if os.path.exists(pointer):
         with open(pointer) as f:
             return f.read().strip()
-    raise ValueError(f"no last_checkpoint pointer under {ckpt_dir}")
+    raise ValueError(f"no {pointer_name} pointer under {ckpt_dir}")
 
 
-def write_last_checkpoint(ckpt_dir: str, path: str) -> None:
+def write_last_checkpoint(
+    ckpt_dir: str, path: str, pointer_name: str = "last_checkpoint"
+) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
-    with open(os.path.join(ckpt_dir, "last_checkpoint"), "w") as f:
+    with open(os.path.join(ckpt_dir, pointer_name), "w") as f:
         f.write(path)
+
+
+def save_train_state(path: str, state: Any) -> str:
+    """Save a FULL training state — params, optimizer moments, EMA shadow,
+    step counter — so a resumed run continues bit-for-bit where it left off
+    (SURVEY §5: "checkpointed training loop with resumable step state";
+    the params-only ``save_variables`` path loses the adam moments and the
+    EMA warmup position).
+
+    The state is stored as its flattened leaves; restoring requires a
+    structurally identical template (``Trainer.init_state`` provides one),
+    which keeps this robust to optax's nested-namedtuple opt_state without
+    registering every container type with the flax serializer."""
+    leaves = jax.tree_util.tree_leaves(state)
+    payload = {"__n_leaves__": np.int64(len(leaves))}
+    for i, leaf in enumerate(leaves):
+        payload[f"l{i}"] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    return path
+
+
+def load_train_state(path: str, template: Any, donate_template: bool = False) -> Any:
+    """Restore a state saved by ``save_train_state``. ``template`` supplies
+    the pytree structure, dtypes, and (under a mesh) shardings — pass a
+    freshly built ``Trainer.init_state(batch)``.
+
+    Shape/dtype checks use leaf METADATA only (materializing a template
+    leaf would device->host copy gigabytes over slow interconnects).
+    ``donate_template=True`` frees each template leaf's device buffer as
+    its restored value is uploaded, holding peak device memory near one
+    state instead of two — required to restore the 268v optimizer state
+    (~8 GB) on a 16 GB chip. Only pass it for a template you own."""
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        data = serialization.msgpack_restore(f.read())
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    n = int(data["__n_leaves__"])
+    if n != len(t_leaves):
+        raise ValueError(
+            f"checkpoint {path} has {n} leaves but the template has "
+            f"{len(t_leaves)} — model/optimizer/EMA config mismatch"
+        )
+    leaves = []
+    for i, t in enumerate(t_leaves):
+        arr = np.asarray(data[f"l{i}"])
+        ref_shape = tuple(np.shape(t))
+        ref_dtype = t.dtype if hasattr(t, "dtype") else np.result_type(t)
+        if arr.shape != ref_shape:
+            raise ValueError(
+                f"checkpoint {path} leaf {i}: shape {arr.shape} != template "
+                f"{ref_shape} — model/optimizer/EMA config mismatch"
+            )
+        arr = arr.astype(ref_dtype)
+        if isinstance(t, jax.Array):
+            sharding = t.sharding
+            restored = jax.device_put(arr, sharding)
+            if donate_template:
+                t.delete()
+        else:
+            restored = jnp.asarray(arr)
+        leaves.append(restored)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -22,7 +22,13 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.vaeformer import VAEformer
-from .checkpoints import save_variables, load_variables, write_last_checkpoint
+from .checkpoints import (
+    load_train_state,
+    resolve_last_checkpoint,
+    save_train_state,
+    save_variables,
+    write_last_checkpoint,
+)
 from .ema import EmaState, ema_init, ema_update
 from .loss import RateDistortionLoss, kl_weighted_loss
 from .optim import make_net_aux_optimizers
@@ -164,10 +170,27 @@ class Trainer:
         return state
 
     def save(self, state: TrainState) -> str:
-        path = os.path.join(self.cfg.ckpt_dir, f"step_{int(state.step)}.msgpack")
+        """Write both a params-only model checkpoint (export/eval surface,
+        reference .pth equivalent) and the full resumable train state
+        (adam moments + EMA shadow + step; SURVEY §5)."""
+        step = int(state.step)
+        path = os.path.join(self.cfg.ckpt_dir, f"step_{step}.msgpack")
         save_variables(path, {"params": jax.tree.map(lambda x: x, state.params)})
         write_last_checkpoint(self.cfg.ckpt_dir, path)
+        state_path = os.path.join(self.cfg.ckpt_dir, f"state_{step}.msgpack")
+        save_train_state(state_path, state)
+        write_last_checkpoint(self.cfg.ckpt_dir, state_path, "last_state")
         return path
+
+    def restore(self, example_batch: jax.Array, path: Optional[str] = None) -> TrainState:
+        """Resume from a full train-state checkpoint. ``path`` defaults to
+        the ``last_state`` pointer under ``cfg.ckpt_dir``; the example
+        batch (re)builds the state template with the right shapes and
+        shardings."""
+        if path is None:
+            path = resolve_last_checkpoint(self.cfg.ckpt_dir, "last_state")
+        template = self.init_state(self.shard_batch(example_batch))
+        return load_train_state(path, template, donate_template=True)
 
 
 def _chain_first(first, rest):
