@@ -193,10 +193,13 @@ def _encode_scan(bins, starts, freqs, magic_m, magic_s, num_steps):
     return x_final, emit, words
 
 
-def _pallas_encode_scan(bins, starts, freqs, magic_m, magic_s, num_steps):
+def _pallas_encode_scan(bins, starts, freqs, magic_m, magic_s, num_steps,
+                        unroll=8):
     from .rans_pallas import encode_scan_pallas
 
-    return encode_scan_pallas(bins, starts, freqs, magic_m, magic_s, num_steps)
+    return encode_scan_pallas(
+        bins, starts, freqs, magic_m, magic_s, num_steps, unroll=unroll
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps",))
@@ -291,11 +294,12 @@ def _merge_tiny_buckets_np(idx_sorted: np.ndarray, ncdfs: int, K: int) -> np.nda
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_len", "M", "K", "use_pallas", "sort")
+    jax.jit,
+    static_argnames=("max_len", "M", "K", "use_pallas", "sort", "unroll"),
 )
 def _encode_device(symbols_any, indexes_any, packed_cdf, idx_packed,
                    magic_m_flat, magic_s_flat, max_len, M, K, use_pallas=False,
-                   sort=False):
+                   sort=False, unroll=8):
     """Fully on-device encode: padding, symbol prep (escape mapping,
     cdf/magic gathers), the rANS scan, and compaction of the emitted
     words and escape values — one dispatch; only count-sized buffers
@@ -399,10 +403,16 @@ def _encode_device(symbols_any, indexes_any, packed_cdf, idx_packed,
         safe = jnp.int32(0)
     # the Pallas kernel runs the whole sequential loop on-chip (~0.13
     # ms/step of lax.scan loop overhead avoided, see coder/rans_pallas.py)
-    scan = _pallas_encode_scan if use_pallas else _encode_scan
-    x_final, emit, words = scan(
-        grid(bins), grid(starts), grid(freqs), grid(m), grid(s.astype(jnp.int32)), M
-    )
+    if use_pallas:
+        x_final, emit, words = _pallas_encode_scan(
+            grid(bins), grid(starts), grid(freqs), grid(m),
+            grid(s.astype(jnp.int32)), M, unroll,
+        )
+    else:
+        x_final, emit, words = _encode_scan(
+            grid(bins), grid(starts), grid(freqs), grid(m),
+            grid(s.astype(jnp.int32)), M,
+        )
 
     emit_flat = emit.reshape(-1)
     n_words = jnp.sum(emit_flat.astype(jnp.int32))
@@ -521,14 +531,15 @@ def _apply_escapes(values, sentinel, esc_vals, n, idx_shape, has_esc):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "M", "K", "has_esc", "pos_bits", "G", "Lc", "use_kernel", "merged"
+        "M", "K", "has_esc", "pos_bits", "G", "Lc", "use_kernel", "merged",
+        "unroll",
     ),
 )
 def _decode_sorted_device(indexes_any, states, stream, esc_vals,
                           coarse_tab, chunkT_tab, lut_state, lut_value,
                           max_values, offsets,
                           M, K, has_esc, pos_bits, G, Lc, use_kernel,
-                          merged=False):
+                          merged=False, unroll=8):
     """Decode an index-sorted v2 stream: derive the encoder's permutation
     from the (identical) index grid with one sort, decode in sorted order
     — through the gather-free Pallas kernel when routable, else the
@@ -572,7 +583,7 @@ def _decode_sorted_device(indexes_any, states, stream, esc_vals,
         stream_p = jnp.pad(stream.astype(jnp.int32), (0, K + 256))
         values, sentinel = decode_sorted_pallas(
             coarseT, chunkT, split, mv0, mv1, off0, off1,
-            states, stream_p, M, G, Lc,
+            states, stream_p, M, G, Lc, unroll=unroll,
         )
     else:
         values, sentinel = _decode_scan(
@@ -587,9 +598,11 @@ def _decode_sorted_device(indexes_any, states, stream, esc_vals,
     return out.reshape(indexes_any.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("M", "K", "has_esc"))
+@functools.partial(
+    jax.jit, static_argnames=("M", "K", "has_esc", "unroll")
+)
 def _decode_rowplan_device(indexes_any, states, stream, esc_vals, cdf_2d,
-                           max_values, offsets, M, K, has_esc):
+                           max_values, offsets, M, K, has_esc, unroll=8):
     """Gather-free Pallas decode for channel-broadcast index grids (every
     EB z-stream with K <= H*W): per scan step the lanes draw from at most
     {first, max, pad-0} = 3 distinct cdf rows, so the kernel can compare
@@ -609,7 +622,7 @@ def _decode_rowplan_device(indexes_any, states, stream, esc_vals, cdf_2d,
     off = _take(offsets, idx2)
     stream_p = jnp.pad(stream.astype(jnp.int32), (0, K))
     values, sentinel = decode_rowplan_pallas(
-        rows, sel, states, stream_p, mv, off, M
+        rows, sel, states, stream_p, mv, off, M, unroll=unroll
     )
     return _apply_escapes(
         values, sentinel, esc_vals, n, indexes_any.shape, has_esc
@@ -780,11 +793,14 @@ class LaneCoder:
             chunkT_tab = jnp.zeros((1, 1, 1), jnp.float32)
             G = Lc = 1
             ls, lv = self._decode_luts()
+        from .rans_pallas import sorted_unroll
+
         return _decode_sorted_device(
             indexes, states, stream, esc_vals,
             coarse_tab, chunkT_tab, ls, lv,
             self._max_values, self._offsets,
             M, K, has_esc, pos_bits, G, Lc, use_kernel, merged,
+            unroll=sorted_unroll(),
         )
 
     def _pallas_decode_ok(self, K: int, stream_len: int) -> bool:
@@ -865,13 +881,14 @@ class LaneCoder:
         K = self.num_lanes or default_num_lanes(n)
         M = -(-n // K)
         magic_m, magic_s = self._magic_tables()
-        from .rans_pallas import use_pallas_scan
+        from .rans_pallas import sorted_unroll, use_pallas_scan
 
         sort = self._sorted_ok(n, K)
         out = _encode_device(
             symbols, indexes, self._packed_cdf, self._idx_packed,
             magic_m, magic_s, self._max_len, M, K,
             use_pallas=use_pallas_scan(K), sort=sort,
+            unroll=sorted_unroll(),
         )
         # trailing self: finalize keys its bucket hints per coder instance
         # so two coders with same-shaped streams don't thrash each other
@@ -1114,6 +1131,8 @@ class LaneCoder:
                 M, K, n_esc > 0, kernel_safe, merged,
             )
         if row_plan and self._rowplan_ok(K, int(row_plan)):
+            from .rans_pallas import sorted_unroll
+
             self._validate_rowplan(indexes, K)
             return _decode_rowplan_device(
                 indexes,
@@ -1126,6 +1145,7 @@ class LaneCoder:
                 M,
                 K,
                 n_esc > 0,
+                unroll=sorted_unroll(),
             )
         use_p = self._pallas_decode_ok(K, len(stream))
         ls, lv = self._luts_unless(use_p)

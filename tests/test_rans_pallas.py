@@ -18,7 +18,11 @@ from test_rans import make_table, sample_symbols
 
 
 @pytest.mark.parametrize("M,K", [(13, 256), (7, 1024), (29, 128), (5, 512)])
-def test_encode_scan_bit_exact(rng, M, K):
+@pytest.mark.parametrize("unroll", [1, 4, None])
+def test_encode_scan_bit_exact(rng, M, K, unroll):
+    """Pallas encode matches the lax.scan state machine bit-for-bit at
+    every unroll (incl. the identity no-op step padding when the unroll
+    does not divide M)."""
     freqs = rng.integers(1, 60000, (M, K)).astype(np.int32)
     starts = rng.integers(0, 5000, (M, K)).astype(np.int32)
     m, s = rt._division_magic(freqs.reshape(-1))
@@ -30,7 +34,7 @@ def test_encode_scan_bit_exact(rng, M, K):
         jnp.asarray(s.reshape(M, K).astype(np.int32)),
     )
     x0, e0, w0 = rt._encode_scan(*args, M)
-    x1, e1, w1 = encode_scan_pallas(*args, M, interpret=True)
+    x1, e1, w1 = encode_scan_pallas(*args, M, interpret=True, unroll=unroll)
     assert np.array_equal(x0, x1)
     assert np.array_equal(e0, e1)
     # non-emitted word slots are don't-care; compare under the mask

@@ -151,6 +151,25 @@ def test_sorted_mode_off_stays_unsorted(rng):
     assert np.array_equal(coder.decode(data, idx), sym)
 
 
+@pytest.mark.parametrize("unroll", [1, 3, 8, 1000])
+def test_sorted_kernel_unroll_invariant(sorted_on, rng, unroll):
+    """The kernel's step unroll factor (incl. U > M and the no-op step
+    padding when U does not divide M) never changes decoded symbols."""
+    from cra5_tpu.coder.rans_pallas import set_sorted_unroll
+
+    table = make_table(rng, ncdfs=16, max_bins=200)
+    sym, idx = sample_symbols(rng, table, 30000, escape_frac=0.02)
+    coder = LaneCoder(table, num_lanes=512)  # M = 59 steps
+    data = coder.encode(sym, idx)
+    assert _parse_v2_header(data)[5] is True  # kernel-routable
+    set_sorted_unroll(unroll)
+    try:
+        out = np.asarray(coder.decode_to_device(data, jnp.asarray(idx)))
+    finally:
+        set_sorted_unroll(8)
+    assert np.array_equal(out, sym)
+
+
 def test_sorted_golden_stable(sorted_on, rng):
     """Sorted-mode container bytes are deterministic (same inputs ->
     identical stream), locking the permutation definition."""
