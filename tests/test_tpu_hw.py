@@ -82,6 +82,38 @@ def test_sorted_kernel_roundtrip_on_chip():
         set_sorted_lanes("auto")
 
 
+def test_kernel_unroll_invariant_on_chip():
+    """Unroll U=1 vs U=8 (with its no-op step padding) produce identical
+    container bytes from the Pallas encode and identical symbols from the
+    sorted decode kernel on real hardware."""
+    from cra5_tpu.coder.rans_pallas import set_sorted_lanes, set_sorted_unroll
+    from cra5_tpu.entropy import gc_update, get_scale_table
+
+    table = gc_update(get_scale_table())
+    rng = np.random.default_rng(13)
+    n, K = 300000, 2048
+    idx = np.sort(rng.integers(0, 16, n)).astype(np.int32)
+    mv = table.cdf_length[idx] - 2
+    sym = ((rng.random(n) * mv).astype(np.int32) + table.offset[idx]).astype(np.int32)
+    sym_dev, idx_dev = jnp.asarray(sym), jnp.asarray(idx)
+
+    set_sorted_lanes("on")
+    try:
+        outs, datas = [], []
+        for U in (1, 8):
+            set_sorted_unroll(U)
+            coder = LaneCoder(table, num_lanes=K)
+            data = coder.encode_from_device(sym_dev, idx_dev)
+            datas.append(data)
+            outs.append(np.asarray(coder.decode_to_device(data, idx_dev)))
+        assert datas[0] == datas[1]
+        assert np.array_equal(outs[0], sym)
+        assert np.array_equal(outs[1], sym)
+    finally:
+        set_sorted_unroll(8)
+        set_sorted_lanes("auto")
+
+
 def test_flash_attention_fwd_bwd_on_chip():
     """Pallas flash attention forward AND backward vs the einsum
     reference on real hardware (round-2 VERDICT weak #4: the kernels'
