@@ -1,6 +1,7 @@
 from .export import (
     build_codec_binary,
     export_codec,
+    export_analysis,
     export_synthesis,
     extract_cdf_from_latents,
     load_tables_file,
@@ -13,6 +14,7 @@ from .export import (
 __all__ = [
     "build_codec_binary",
     "export_codec",
+    "export_analysis",
     "export_synthesis",
     "extract_cdf_from_latents",
     "load_tables_file",

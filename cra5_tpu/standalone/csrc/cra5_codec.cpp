@@ -598,11 +598,9 @@ void synth_gdn(const SynthLayer &L, std::vector<float> &act, int H, int W,
   }
 }
 
-bool run_synthesis(const std::vector<SynthLayer> &net,
-                   const std::vector<int32_t> &sym, int C, int H, int W,
-                   std::vector<float> &out, int &Co, int &Ho, int &Wo) {
-  std::vector<float> act(sym.size());
-  for (size_t i = 0; i < sym.size(); ++i) act[i] = static_cast<float>(sym[i]);
+bool run_network(const std::vector<SynthLayer> &net, std::vector<float> act,
+                 int C, int H, int W, std::vector<float> &out, int &Co,
+                 int &Ho, int &Wo) {
   Co = C; Ho = H; Wo = W;
   for (const auto &L : net) {
     if (L.type == kChannelBias) {
@@ -632,6 +630,14 @@ bool run_synthesis(const std::vector<SynthLayer> &net,
   return true;
 }
 
+bool run_synthesis(const std::vector<SynthLayer> &net,
+                   const std::vector<int32_t> &sym, int C, int H, int W,
+                   std::vector<float> &out, int &Co, int &Ho, int &Wo) {
+  std::vector<float> act(sym.size());
+  for (size_t i = 0; i < sym.size(); ++i) act[i] = static_cast<float>(sym[i]);
+  return run_network(net, std::move(act), C, H, W, out, Co, Ho, Wo);
+}
+
 int usage() {
   fprintf(stderr,
           "usage: cra5_codec encode <tables> <tensor> <out.bin>\n"
@@ -639,7 +645,8 @@ int usage() {
           "       cra5_codec encode2 <tables> <tensor> <out.bin>   (v2 lane format)\n"
           "       cra5_codec decode2 <tables> <in.bin> <tensor-out> (v2 lane format)\n"
           "       cra5_codec rdoq <tables> <float-tensor> <lambda> <tensor-out>\n"
-          "       cra5_codec decode-full <tables> <in.bin> <synthesis.crs> <float-tensor-out>\n");
+          "       cra5_codec decode-full <tables> <in.bin> <synthesis.crs> <float-tensor-out>\n"
+          "       cra5_codec encode-full <tables> <float-tensor> <analysis.crs> <out.bin>\n");
   return 2;
 }
 
@@ -817,6 +824,52 @@ int main(int argc, char **argv) {
     }
     o.dims = {1, Co, Ho, Wo};
     return save_tensor(argv[5], o) ? 0 : 1;
+  }
+
+  if (mode == "encode-full" && argc == 6) {
+    // neural analysis + quantize + entropy encode, no Python anywhere
+    // (parity with the reference SADL encoder running g_a in C++,
+    // encoder_generic.h:141-349). The analysis.crs network ends with a
+    // channel-bias layer of -medians, so plain round-to-nearest-even
+    // (the runtime default rounding mode, matching jnp.round) yields
+    // the EB symbols.
+    Tables tb; Tensor t;
+    if (!load_tables(argv[2], tb)) { fprintf(stderr, "bad tables\n"); return 1; }
+    if (!load_tensor(argv[3], t) || !t.is_float) { fprintf(stderr, "need float tensor\n"); return 1; }
+    std::vector<SynthLayer> net;
+    if (!load_synthesis(argv[4], net)) { fprintf(stderr, "bad analysis file\n"); return 1; }
+    if (t.dims.size() < 3) { fprintf(stderr, "need (C,H,W) tensor\n"); return 1; }
+    for (size_t d = 0; d + 3 < t.dims.size(); ++d)
+      if (t.dims[d] != 1) { fprintf(stderr, "batch encode-full unsupported\n"); return 1; }
+    const int C = t.dims[t.dims.size() - 3];
+    const int H = t.dims[t.dims.size() - 2];
+    const int W = t.dims[t.dims.size() - 1];
+    std::vector<float> y;
+    int Cy, Hy, Wy;
+    if (!run_network(net, std::move(t.fdata), C, H, W, y, Cy, Hy, Wy)) {
+      fprintf(stderr, "analysis failed (layer/channel mismatch)\n");
+      return 1;
+    }
+    Tensor q;
+    q.dims = {1, Cy, Hy, Wy};
+    q.idata.resize(y.size());
+    for (size_t i = 0; i < y.size(); ++i)
+      q.idata[i] = static_cast<int32_t>(std::nearbyint(y[i]));
+    std::vector<int32_t> idx;
+    channel_indexes(q, idx);
+    std::vector<uint8_t> payload = lane_encode(tb, q.idata.data(), idx.data(), q.size());
+    FILE *f = fopen(argv[5], "wb");
+    if (!f) return 1;
+    fwrite("CRB2", 1, 4, f);
+    int32_t ndim = static_cast<int32_t>(q.dims.size());
+    fwrite(&ndim, 4, 1, f);
+    fwrite(q.dims.data(), 4, q.dims.size(), f);
+    uint32_t nbytes = static_cast<uint32_t>(payload.size());
+    fwrite(&nbytes, 4, 1, f);
+    fwrite(payload.data(), 1, payload.size(), f);
+    fclose(f);
+    printf("%u\n", nbytes);
+    return 0;
   }
 
   return usage();

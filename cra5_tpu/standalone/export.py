@@ -138,28 +138,31 @@ def _gdn_effective(raw: np.ndarray, minimum: float) -> np.ndarray:
     return (r * r - pedestal).astype(np.float32)
 
 
-def export_synthesis(
-    path: str,
-    specs: Sequence,
-    gs_params: Dict,
-    medians: Optional[np.ndarray] = None,
-) -> str:
-    """Write the g_s synthesis network as a portable CRS1 weights file the
-    standalone C++ decoder runs with no Python (reference SADL decoder
-    parity, decoder_generic.h:121-213). ``specs`` is the model's _ConvStack
-    spec tuple; ``gs_params`` its flax params; ``medians`` (C,) the EB
-    dequantize offsets (prepended as a channel-bias layer)."""
+def _channel_bias_blob(bias: np.ndarray) -> bytes:
+    b = np.asarray(bias, np.float32).reshape(-1)
+    return b"".join([
+        struct.pack("<ii", _SYNTH_TYPES["channel_bias"], b.size),
+        b.tobytes(),
+    ])
+
+
+def _write_crs(path: str, layers) -> str:
+    with open(path, "wb") as f:
+        f.write(b"CRS1")
+        f.write(struct.pack("<i", len(layers)))
+        for blob in layers:
+            f.write(blob)
+    return path
+
+
+def _network_blobs(specs: Sequence, params: Dict) -> list:
+    """Serialize a _ConvStack spec tuple + flax params to CRS1 layer
+    blobs (shared by the synthesis and analysis exporters)."""
     layers = []
-    if medians is not None:
-        m = np.asarray(medians, np.float32).reshape(-1)
-        layers.append((b"".join([
-            struct.pack("<ii", _SYNTH_TYPES["channel_bias"], m.size),
-            m.tobytes(),
-        ])))
     for i, spec in enumerate(specs):
         kind = spec[0]
         if kind in ("deconv", "conv"):
-            p = gs_params[f"l{i}"]["conv"]
+            p = params[f"l{i}"]["conv"]
             kern = np.asarray(p["kernel"], np.float32)  # (kh, kw, cin, cout)
             bias = np.asarray(p["bias"], np.float32)
             if kind == "deconv":
@@ -175,7 +178,7 @@ def export_synthesis(
                 bias.tobytes(),
             ]))
         elif kind in ("gdn", "igdn"):
-            p = gs_params[f"l{i}"]
+            p = params[f"l{i}"]
             beta = _gdn_effective(p["beta"], 1e-6)
             gamma = _gdn_effective(p["gamma"], 0.0)  # (out, in) row-major
             layers.append(b"".join([
@@ -189,12 +192,42 @@ def export_synthesis(
             layers.append(struct.pack("<i", _SYNTH_TYPES["lrelu"]))
         else:
             raise ValueError(f"layer kind {kind!r} has no standalone equivalent")
-    with open(path, "wb") as f:
-        f.write(b"CRS1")
-        f.write(struct.pack("<i", len(layers)))
-        for blob in layers:
-            f.write(blob)
-    return path
+    return layers
+
+
+def export_synthesis(
+    path: str,
+    specs: Sequence,
+    gs_params: Dict,
+    medians: Optional[np.ndarray] = None,
+) -> str:
+    """Write the g_s synthesis network as a portable CRS1 weights file the
+    standalone C++ decoder runs with no Python (reference SADL decoder
+    parity, decoder_generic.h:121-213). ``specs`` is the model's _ConvStack
+    spec tuple; ``gs_params`` its flax params; ``medians`` (C,) the EB
+    dequantize offsets (prepended as a channel-bias layer)."""
+    layers = []
+    if medians is not None:
+        layers.append(_channel_bias_blob(medians))
+    layers.extend(_network_blobs(specs, gs_params))
+    return _write_crs(path, layers)
+
+
+def export_analysis(
+    path: str,
+    specs: Sequence,
+    ga_params: Dict,
+    medians: Optional[np.ndarray] = None,
+) -> str:
+    """Write the g_a analysis network as a portable CRS1 weights file for
+    the standalone C++ encoder (reference SADL encoder parity,
+    encoder_generic.h:141-349): conv/GDN layers followed by a channel-bias
+    layer of -medians, so the C++ side's round-to-nearest-even on the
+    network output yields the EB symbols directly."""
+    layers = _network_blobs(specs, ga_params)
+    if medians is not None:
+        layers.append(_channel_bias_blob(-np.asarray(medians, np.float32)))
+    return _write_crs(path, layers)
 
 
 def export_codec(

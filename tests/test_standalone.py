@@ -272,6 +272,84 @@ def test_decode_full_neural_synthesis(tmp_path):
     np.testing.assert_allclose(x_hat_cpp, x_hat_jax, rtol=1e-3, atol=1e-4)
 
 
+def test_encode_full_neural_analysis(tmp_path):
+    """`cra5_codec encode-full` runs the g_a analysis transform, the
+    round-to-even quantizer, and the entropy encoder with NO Python in
+    the loop (the reference SADL encoder's capability,
+    encoder_generic.h:141-349): the emitted container holds the same
+    symbols the JAX encode path produces."""
+    import jax.numpy as jnp
+
+    from cra5_tpu.models import load_model
+    from cra5_tpu.standalone import export_analysis
+
+    model, variables, codec = load_model(
+        "bmshj2018-factorized", 1, input_shape=(1, 3, 64, 64)
+    )
+    codec.update()
+    x = np.random.default_rng(3).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    sym_jax = np.asarray(
+        model.apply(variables, jnp.asarray(x), method=type(model).encode_symbols)["y_sym"]
+    )[0]
+
+    bound = model.bind(variables)
+    med = np.asarray(bound.entropy_bottleneck.medians())
+    ana_p = tmp_path / "g_a.crs"
+    export_analysis(
+        str(ana_p), bound.g_a.specs, variables["params"]["g_a"], medians=med
+    )
+    tables_p = tmp_path / "eb.crt"
+    write_tables_file(str(tables_p), codec._eb_table)
+    x_p = tmp_path / "x.crx"
+    write_tensor_file(str(x_p), x[0])
+    bin_p = tmp_path / "y.bin"
+    run_codec("encode-full", str(tables_p), str(x_p), str(ana_p), str(bin_p))
+
+    out_p = tmp_path / "sym.crx"
+    run_codec("decode2", str(tables_p), str(bin_p), str(out_p))
+    sym_cpp = read_tensor_file(str(out_p)).reshape(sym_jax.shape)
+    assert np.array_equal(sym_cpp, sym_jax)
+
+
+def test_encode_full_decode_full_pure_cpp_roundtrip(tmp_path):
+    """Full codec with no Python on either side: C++ analysis+encode,
+    then C++ decode+synthesis, matching the JAX reconstruction."""
+    import jax.numpy as jnp
+
+    from cra5_tpu.models import load_model
+    from cra5_tpu.standalone import export_analysis, export_synthesis
+
+    model, variables, codec = load_model(
+        "bmshj2018-factorized", 1, input_shape=(1, 3, 64, 64)
+    )
+    codec.update()
+    x = np.random.default_rng(4).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    out = codec.compress(x)
+    x_hat_jax = np.asarray(codec.decompress(out["strings"], out["shape"])["x_hat"])
+
+    bound = model.bind(variables)
+    med = np.asarray(bound.entropy_bottleneck.medians())
+    ana_p = tmp_path / "g_a.crs"
+    export_analysis(
+        str(ana_p), bound.g_a.specs, variables["params"]["g_a"], medians=med
+    )
+    synth_p = tmp_path / "g_s.crs"
+    export_synthesis(
+        str(synth_p), bound.g_s.specs, variables["params"]["g_s"], medians=med
+    )
+    tables_p = tmp_path / "eb.crt"
+    write_tables_file(str(tables_p), codec._eb_table)
+    x_p = tmp_path / "x.crx"
+    write_tensor_file(str(x_p), x[0])
+    bin_p = tmp_path / "y.bin"
+    run_codec("encode-full", str(tables_p), str(x_p), str(ana_p), str(bin_p))
+    out_p = tmp_path / "x_hat.crx"
+    run_codec("decode-full", str(tables_p), str(bin_p), str(synth_p), str(out_p))
+    x_hat_cpp = read_tensor_file(str(out_p))
+    assert x_hat_cpp.shape == x_hat_jax.shape
+    np.testing.assert_allclose(x_hat_cpp, x_hat_jax, rtol=1e-3, atol=1e-4)
+
+
 def test_decode_full_relu_variant(tmp_path):
     """Same path through the GDN-free stack (relu layers)."""
     import jax.numpy as jnp
