@@ -151,6 +151,41 @@ def test_codec_bad_args():
         run_codec("encode", "/nonexistent", "/nonexistent", "/tmp/x")
 
 
+def test_encode_full_bad_inputs(table, tmp_path):
+    """encode-full rejects int tensors, truncated network files, and
+    channel mismatches with clean nonzero exits (no garbage streams)."""
+    tables_p = tmp_path / "t.crt"
+    write_tables_file(str(tables_p), table)
+    # int tensor where a float one is required
+    int_p = tmp_path / "i.crx"
+    write_tensor_file(str(int_p), np.zeros((2, 4, 4), np.int32))
+    crs_p = tmp_path / "net.crs"
+    crs_p.write_bytes(b"CRS1" + (0).to_bytes(4, "little"))
+    with pytest.raises(subprocess.CalledProcessError):
+        run_codec("encode-full", str(tables_p), str(int_p), str(crs_p),
+                  str(tmp_path / "o.bin"))
+    # truncated network file
+    f_p = tmp_path / "f.crx"
+    write_tensor_file(str(f_p), np.zeros((2, 4, 4), np.float32))
+    bad_p = tmp_path / "bad.crs"
+    bad_p.write_bytes(b"CRS1" + (3).to_bytes(4, "little") + b"\x01")
+    with pytest.raises(subprocess.CalledProcessError):
+        run_codec("encode-full", str(tables_p), str(f_p), str(bad_p),
+                  str(tmp_path / "o.bin"))
+    # channel mismatch: conv expects cin=5, tensor has 2 channels
+    from cra5_tpu.standalone.export import _network_blobs, _write_crs
+
+    k = np.zeros((3, 3, 5, 4), np.float32)
+    blobs = _network_blobs(
+        [("conv", 5, 4, 2)], {"l0": {"conv": {"kernel": k, "bias": np.zeros(4, np.float32)}}}
+    )
+    mis_p = tmp_path / "mis.crs"
+    _write_crs(str(mis_p), blobs)
+    with pytest.raises(subprocess.CalledProcessError):
+        run_codec("encode-full", str(tables_p), str(f_p), str(mis_p),
+                  str(tmp_path / "o.bin"))
+
+
 def test_rdoq_jax_matches_behavior(latents, table):
     """The JAX RDOQ mirrors the C++ search: distortion-dominant lambda
     reproduces round(); rate-dominant stays within +-1 and never costs
