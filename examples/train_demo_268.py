@@ -79,6 +79,8 @@ def main(argv=None):
     ap.add_argument("--pool", type=int, default=6, help="distinct training fields")
     ap.add_argument("--ckpt-dir", default="/tmp/train_demo_268")
     ap.add_argument("--out", default=None, help="write result JSON here")
+    ap.add_argument("--config", default="268", choices=["268", "tiny"],
+                    help="tiny = CPU smoke test of the same 4-phase flow")
     args = ap.parse_args(argv)
 
     import jax
@@ -90,10 +92,16 @@ def main(argv=None):
     import numpy as np
 
     from cra5_tpu.models import VAEformer, VAEformerCodec, vaeformer_268
+    from cra5_tpu.models.vaeformer import vaeformer_tiny
     from cra5_tpu.train import Trainer, TrainerConfig
 
-    cfg = dataclasses.replace(vaeformer_268(), remat=True)
-    model = VAEformer(cfg, dtype=jnp.bfloat16)
+    if args.config == "tiny":
+        jax.config.update("jax_platforms", "cpu")
+        cfg = vaeformer_tiny()
+        model = VAEformer(cfg)
+    else:
+        cfg = dataclasses.replace(vaeformer_268(), remat=True)
+        model = VAEformer(cfg, dtype=jnp.bfloat16)
     tcfg = TrainerConfig(
         learning_rate=1e-4, lmbda=1.0, bpp_weight=0.02, use_ema=True,
         log_every=10**9, ckpt_every=10**9, ckpt_dir=args.ckpt_dir,
@@ -102,7 +110,9 @@ def main(argv=None):
                          "pool": args.pool, "lmbda": tcfg.lmbda,
                          "bpp_weight": tcfg.bpp_weight}}
 
-    field = make_field_fn((cfg.in_chans, *cfg.img_size))
+    shape = (cfg.in_chans, *cfg.img_size)
+    coarse = tuple(max(1, d // 16) for d in shape)
+    field = make_field_fn(shape, coarse=(268, 46, 90) if args.config == "268" else coarse)
     pool_keys = [jax.random.PRNGKey(1000 + i) for i in range(args.pool)]
     held_key = jax.random.PRNGKey(99)
 
@@ -127,7 +137,7 @@ def main(argv=None):
         nbytes = sum(len(s) for grp in out["strings"] for s in grp)
         mse = float(jax.device_get(dev_mse(dec["x_hat"], x)))
         r = {"bin_bytes": nbytes,
-             "bpp": round(8 * nbytes / (721 * 1440), 3),
+             "bpp": round(8 * nbytes / (cfg.img_size[0] * cfg.img_size[1]), 3),
              "mse": round(mse, 6),
              "wall_s": round(time.time() - t0, 1)}
         print(f"[demo] codec[{label}]: {r}", flush=True)
