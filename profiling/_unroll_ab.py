@@ -41,15 +41,24 @@ def main():
     idx_dev = jnp.asarray(idx)
     sym_dev = jnp.asarray(sym)
 
-    # z-like rowplan stream: 180 channels broadcast over HW
-    Cz, Kz = 180, 2048
-    HWz = 91 * 180
-    idx_z = np.repeat(np.arange(Cz, dtype=np.int32), HWz) % int(
-        table.cdf_length.shape[0]
+    # z-stream at the real bench shape: 256 channels x 18x36 hyper-latent
+    # (BASELINE.md: 165888 symbols -> default K=256 -> rowplan kernel),
+    # EB-style small table (rowplan needs max_len <= 160 and K <= 512)
+    from cra5_tpu.entropy.cdf import build_cdf_table
+
+    Cz, Kz = 256, 256
+    HWz = 18 * 36
+    L = 40
+    pm = rng.random((Cz, L)) + 0.05
+    pm /= pm.sum(axis=1, keepdims=True)
+    table_z = build_cdf_table(
+        pm * (1 - 1e-4), np.full(Cz, 1e-4), np.full(Cz, L, np.int64), 16
     )
-    mvz = table.cdf_length[idx_z] - 2
+    table_z.offset = np.full(Cz, -L // 2, np.int32)
+    idx_z = np.repeat(np.arange(Cz, dtype=np.int32), HWz)
+    mvz = table_z.cdf_length[idx_z] - 2
     sym_z = ((rng.random(idx_z.size) * mvz).astype(np.int32)
-             + table.offset[idx_z]).astype(np.int32)
+             + table_z.offset[idx_z]).astype(np.int32)
     idx_z_dev = jnp.asarray(idx_z)
 
     for U in (1, 2, 4, 8, 16, 32):
@@ -69,7 +78,8 @@ def main():
 
         t_dec = timed(dec)
 
-        coder_z = LaneCoder(table, num_lanes=Kz)
+        coder_z = LaneCoder(table_z, num_lanes=Kz)
+        assert coder_z._rowplan_ok(Kz, HWz), "z-leg must hit the rowplan kernel"
         data_z = coder_z.encode(sym_z, idx_z)
         out_z = coder_z.decode_to_device(data_z, idx_z_dev, row_plan=HWz)
         assert np.array_equal(np.asarray(out_z), sym_z), U
