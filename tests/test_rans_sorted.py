@@ -178,3 +178,71 @@ def test_sorted_golden_stable(sorted_on, rng):
     c1 = LaneCoder(table, num_lanes=256)
     c2 = LaneCoder(table, num_lanes=256)
     assert c1.encode(sym, idx) == c2.encode(sym, idx)
+
+
+def _clear_merged_bit(data: bytes) -> bytes:
+    """Rewrite a v2 container header with flag bit 29 (MERGED) cleared —
+    reproduces the layout written by pre-merge encoders."""
+    import struct
+
+    from cra5_tpu.coder.rans_tpu import _MERGED_FLAG
+
+    kf = struct.unpack_from("<I", data, 8)[0]
+    return data[:8] + struct.pack("<I", kf & ~_MERGED_FLAG) + data[12:]
+
+
+def test_unmerged_sorted_stream_backcompat(sorted_on, rng, monkeypatch):
+    """Streams written by pre-merge sorted encoders (header bit 31 set,
+    bit 29 CLEAR, tiny buckets left in place -> kernel-unsafe) must keep
+    decoding on both the host and device paths — docs/FORMATS.md §3.4
+    promises clear-bit streams stay readable."""
+    import jax
+
+    import cra5_tpu.coder.rans_tpu as rt
+
+    table = make_table(rng, ncdfs=8, max_bins=60)
+    # mixed density: two dense buckets + tiny ones (count < K), so the
+    # modern encoder WOULD merge — the patched one reproduces the old
+    # unmerged layout, which is kernel-unsafe
+    idx = np.sort(
+        np.concatenate([
+            np.zeros(1400, np.int32),
+            np.full(1400, 7, np.int32),
+            np.arange(1, 7, dtype=np.int32).repeat(30),
+        ])
+    )
+    max_vals = table.cdf_length[idx] - 2
+    sym = ((rng.random(idx.size) * max_vals).astype(np.int32)
+           + table.offset[idx])
+    esc = rng.random(idx.size) < 0.05
+    sym = np.where(
+        esc, sym + rng.integers(-300, 300, size=idx.size), sym
+    ).astype(np.int32)
+    coder = LaneCoder(table, num_lanes=128)
+    # reproduce the old encoder: identity in place of the merge remap
+    # (disable_jit so the patched body actually runs instead of a trace)
+    monkeypatch.setattr(rt, "_merge_tiny_buckets", lambda i, n, k: i)
+    with jax.disable_jit():
+        data = _clear_merged_bit(coder.encode(sym, idx))
+    monkeypatch.undo()
+    n, K, _, _, sorted_mode, safe, merged = _parse_v2_header(data)
+    assert sorted_mode and not merged
+    assert safe is False  # unmerged tiny buckets: scan-fallback route
+    assert np.array_equal(coder.decode(data, idx), sym)
+    out_dev = np.asarray(coder.decode_to_device(data, jnp.asarray(idx)))
+    assert np.array_equal(out_dev, sym)
+
+
+def test_unmerged_sorted_stream_kernel_route(sorted_on, rng):
+    """A pre-merge sorted stream whose buckets are all >= K-dense (merge
+    identity, kernel-safe bit set) must decode through the gather-free
+    kernel route with the merged bit clear."""
+    table = make_table(rng, ncdfs=4, max_bins=16)
+    sym, idx = sample_symbols(rng, table, 40000, escape_frac=0.01)
+    coder = LaneCoder(table, num_lanes=256)
+    data = _clear_merged_bit(coder.encode(sym, idx))
+    n, K, _, _, sorted_mode, safe, merged = _parse_v2_header(data)
+    assert sorted_mode and safe and not merged
+    assert np.array_equal(coder.decode(data, idx), sym)
+    out_dev = np.asarray(coder.decode_to_device(data, jnp.asarray(idx)))
+    assert np.array_equal(out_dev, sym)
