@@ -27,7 +27,9 @@ the bit-compatible host coder (coder/native.py).
 from __future__ import annotations
 
 import functools
+import os
 import struct
+import warnings
 from typing import Dict, Tuple
 
 import jax
@@ -106,6 +108,70 @@ def _zigzag_varint_decode(data: bytes, count: int) -> np.ndarray:
         -((u >> np.uint64(1)).astype(np.int64)) - 1,
         (u >> np.uint64(1)).astype(np.int64),
     ).astype(np.int32)
+
+
+_KERNEL_FALLBACK = os.environ.get("CRA5_TPU_KERNEL_FALLBACK", "1") == "1"
+_FALLBACK_WARNED: set = set()
+
+
+def set_kernel_fallback(on: bool) -> None:
+    """Enable/disable the lowering-failure fallback chain (tests that
+    must FAIL when a kernel path breaks disable it)."""
+    global _KERNEL_FALLBACK
+    _KERNEL_FALLBACK = bool(on)
+
+
+def _is_lowering_error(e: BaseException) -> bool:
+    """Heuristic for kernel compile/lowering failures — the class of
+    error an untested (backend-version-dependent) Mosaic lowering can
+    raise at dispatch time — as opposed to caller bugs (shape/value
+    errors), which must propagate."""
+    msg = f"{type(e).__name__}: {e}"
+    return any(
+        s in msg
+        for s in (
+            "Mosaic",
+            "mosaic",
+            "UNIMPLEMENTED",
+            "INTERNAL",
+            "RESOURCE_EXHAUSTED",
+            "vmem",
+            "VMEM",
+            "lowering",
+            "Unsupported",
+            "XlaRuntimeError",
+        )
+    )
+
+
+def _kernel_fallback(tag: str, attempts):
+    """Run the first of ``attempts`` [(desc, thunk), ...] that works.
+    A lowering-style failure (see _is_lowering_error) falls through to
+    the next attempt with a one-time warning; anything else — or the
+    last attempt failing — propagates. All attempts compute identical
+    results by construction (the kernels are bit-exact alternatives to
+    the lax.scan paths), so falling back affects speed only. This
+    protects production entry points (bench, serving) from a Mosaic
+    version rejecting a kernel variant that was untestable off-chip."""
+    for i, (desc, thunk) in enumerate(attempts):
+        try:
+            return thunk()
+        except Exception as e:
+            if (
+                not _KERNEL_FALLBACK
+                or i + 1 == len(attempts)
+                or not _is_lowering_error(e)
+            ):
+                raise
+            key = (tag, desc)
+            if key not in _FALLBACK_WARNED:
+                _FALLBACK_WARNED.add(key)
+                warnings.warn(
+                    f"cra5_tpu: {tag} path '{desc}' failed to compile on "
+                    f"this backend; falling back to "
+                    f"'{attempts[i + 1][0]}'. First error: "
+                    f"{type(e).__name__}: {str(e)[:300]}"
+                )
 
 
 def default_num_lanes(n_symbols: int) -> int:
@@ -785,23 +851,34 @@ class LaneCoder:
         use_kernel = kernel_safe and self._sorted_kernel_ok(
             K, int(stream.shape[-1])
         )
-        if use_kernel:
-            coarse_tab, chunkT_tab, G, Lc = self._sorted_tables()
-            ls, lv = self._luts_unless(True)
-        else:
-            coarse_tab = jnp.zeros((1, 1), jnp.int32)
-            chunkT_tab = jnp.zeros((1, 1, 1), jnp.float32)
-            G = Lc = 1
-            ls, lv = self._decode_luts()
         from .rans_pallas import sorted_unroll
 
-        return _decode_sorted_device(
-            indexes, states, stream, esc_vals,
-            coarse_tab, chunkT_tab, ls, lv,
-            self._max_values, self._offsets,
-            M, K, has_esc, pos_bits, G, Lc, use_kernel, merged,
-            unroll=sorted_unroll(),
-        )
+        U = sorted_unroll()
+
+        def run(kernel: bool, unroll: int):
+            if kernel:
+                coarse_tab, chunkT_tab, G, Lc = self._sorted_tables()
+                ls, lv = self._luts_unless(True)
+            else:
+                coarse_tab = jnp.zeros((1, 1), jnp.int32)
+                chunkT_tab = jnp.zeros((1, 1, 1), jnp.float32)
+                G = Lc = 1
+                ls, lv = self._decode_luts()
+            return _decode_sorted_device(
+                indexes, states, stream, esc_vals,
+                coarse_tab, chunkT_tab, ls, lv,
+                self._max_values, self._offsets,
+                M, K, has_esc, pos_bits, G, Lc, kernel, merged,
+                unroll=unroll,
+            )
+
+        if not use_kernel:
+            return run(False, U)
+        attempts = [(f"kernel-U{U}", lambda: run(True, U))]
+        if U > 1:
+            attempts.append(("kernel-U1", lambda: run(True, 1)))
+        attempts.append(("lax-scan", lambda: run(False, U)))
+        return _kernel_fallback("sorted-decode", attempts)
 
     def _pallas_decode_ok(self, K: int, stream_len: int) -> bool:
         """Route this decode through the Pallas kernel? Requires the VPU
@@ -884,12 +961,25 @@ class LaneCoder:
         from .rans_pallas import sorted_unroll, use_pallas_scan
 
         sort = self._sorted_ok(n, K)
-        out = _encode_device(
-            symbols, indexes, self._packed_cdf, self._idx_packed,
-            magic_m, magic_s, self._max_len, M, K,
-            use_pallas=use_pallas_scan(K), sort=sort,
-            unroll=sorted_unroll(),
-        )
+        U = sorted_unroll()
+        use_p = use_pallas_scan(K)
+
+        def run(pallas: bool, unroll: int):
+            return _encode_device(
+                symbols, indexes, self._packed_cdf, self._idx_packed,
+                magic_m, magic_s, self._max_len, M, K,
+                use_pallas=pallas, sort=sort, unroll=unroll,
+            )
+
+        if use_p:
+            # identical bytes on every path; fallbacks only cost speed
+            attempts = [(f"pallas-U{U}", lambda: run(True, U))]
+            if U > 1:
+                attempts.append(("pallas-U1", lambda: run(True, 1)))
+            attempts.append(("lax-scan", lambda: run(False, U)))
+            out = _kernel_fallback("encode", attempts)
+        else:
+            out = run(False, U)
         # trailing self: finalize keys its bucket hints per coder instance
         # so two coders with same-shaped streams don't thrash each other
         return (n, K, M) + out + (sort, self)
@@ -1130,41 +1220,54 @@ class LaneCoder:
                 jnp.asarray(esc_padded),
                 M, K, n_esc > 0, kernel_safe, merged,
             )
-        if row_plan and self._rowplan_ok(K, int(row_plan)):
-            from .rans_pallas import sorted_unroll
 
-            self._validate_rowplan(indexes, K)
-            return _decode_rowplan_device(
+        def run_generic():
+            use_p = self._pallas_decode_ok(K, len(stream))
+            ls, lv = self._luts_unless(use_p)
+            return _decode_device(
                 indexes,
                 jnp.asarray(states),
                 jnp.asarray(stream.astype(np.uint16)),
                 jnp.asarray(esc_padded),
-                self._cdf_2d,
+                ls,
+                lv,
+                self._cdf_flat,
                 self._max_values,
                 self._offsets,
+                self._max_len,
                 M,
                 K,
                 n_esc > 0,
-                unroll=sorted_unroll(),
+                use_pallas=use_p,
             )
-        use_p = self._pallas_decode_ok(K, len(stream))
-        ls, lv = self._luts_unless(use_p)
-        return _decode_device(
-            indexes,
-            jnp.asarray(states),
-            jnp.asarray(stream.astype(np.uint16)),
-            jnp.asarray(esc_padded),
-            ls,
-            lv,
-            self._cdf_flat,
-            self._max_values,
-            self._offsets,
-            self._max_len,
-            M,
-            K,
-            n_esc > 0,
-            use_pallas=use_p,
-        )
+
+        if row_plan and self._rowplan_ok(K, int(row_plan)):
+            from .rans_pallas import sorted_unroll
+
+            self._validate_rowplan(indexes, K)
+            U = sorted_unroll()
+
+            def run_rp(unroll: int):
+                return _decode_rowplan_device(
+                    indexes,
+                    jnp.asarray(states),
+                    jnp.asarray(stream.astype(np.uint16)),
+                    jnp.asarray(esc_padded),
+                    self._cdf_2d,
+                    self._max_values,
+                    self._offsets,
+                    M,
+                    K,
+                    n_esc > 0,
+                    unroll=unroll,
+                )
+
+            attempts = [(f"rowplan-U{U}", lambda: run_rp(U))]
+            if U > 1:
+                attempts.append(("rowplan-U1", lambda: run_rp(1)))
+            attempts.append(("generic", run_generic))
+            return _kernel_fallback("rowplan-decode", attempts)
+        return run_generic()
 
     # -- decode -----------------------------------------------------------
     def decode(self, data: bytes, indexes: np.ndarray) -> np.ndarray:
