@@ -31,6 +31,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--denormalize", action="store_true",
                         help="apply the 268v mean/std (physical units)")
+    parser.add_argument("--threads", type=int, default=4,
+                        help="pipelined decodes in flight (>1 overlaps "
+                        "host bitstream parsing/npy writes with device "
+                        "compute — the bench-measured serving speedup)")
     args = parser.parse_args(argv)
 
     from ..api.bitstream import load_bin
@@ -72,14 +76,28 @@ def main(argv=None):
         return 1
     os.makedirs(args.out_dir, exist_ok=True)
 
-    t0 = time.time()
-    for path in bins:
+    def serve_one(path: Path) -> None:
         strings, shape = load_bin(str(path))
         out = codec.decompress(strings, shape)
         x_hat = np.asarray(out["x_hat"])[0]
         if mean is not None:
             x_hat = x_hat * std.reshape(-1, 1, 1) + mean.reshape(-1, 1, 1)
         np.save(Path(args.out_dir) / (path.stem + ".npy"), x_hat)
+
+    # warm the jitted decode path outside the timed window, then pipeline:
+    # the codec's device-half methods are thread-safe (they only dispatch),
+    # so N streams in flight keep the device queue fed while other threads
+    # parse containers and write npy (same structure as bench config 4)
+    serve_one(bins[0])
+    t0 = time.time()
+    if args.threads > 1 and len(bins) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(args.threads) as pool:
+            list(pool.map(serve_one, bins))
+    else:
+        for path in bins:
+            serve_one(path)
     dt = time.time() - t0
     print(
         json.dumps(
@@ -87,6 +105,7 @@ def main(argv=None):
                 "decoded": len(bins),
                 "seconds": round(dt, 3),
                 "decodes_per_sec": round(len(bins) / dt, 3),
+                "threads": args.threads,
             }
         )
     )
