@@ -23,6 +23,7 @@
 // rdoq.h multi-pass search, simplified to the per-sample independent case
 // valid for factorized/per-channel priors).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -463,7 +464,9 @@ enum SynthLayerType {
 struct SynthLayer {
   int32_t type = 0;
   int32_t cin = 0, cout = 0, k = 0, s = 0;
-  std::vector<float> kernel;  // deconv/conv: [dy][dx][ci][co]
+  std::vector<float> kernel;      // deconv/conv f32: [dy][dx][ci][co]
+  std::vector<int16_t> kernel_q;  // int16 engine (magic CRSq); same layout
+  float wscale = 0.f;             // dequantize scale: w = kernel_q * wscale
   std::vector<float> bias;    // cout (or C for channel_bias)
   std::vector<float> beta;    // gdn: C
   std::vector<float> gamma;   // gdn: C*C row-major [co][ci]
@@ -474,11 +477,13 @@ bool load_synthesis(const char *path, std::vector<SynthLayer> &net) {
   if (!f) return false;
   char magic[4];
   int32_t n_layers;
-  if (!read_exact(f, magic, 4) || memcmp(magic, "CRS1", 4) != 0 ||
+  if (!read_exact(f, magic, 4) ||
+      (memcmp(magic, "CRS1", 4) != 0 && memcmp(magic, "CRSq", 4) != 0) ||
       !read_exact(f, &n_layers, 4) || n_layers < 0 || n_layers > 1024) {
     fclose(f);
     return false;
   }
+  const bool quant = memcmp(magic, "CRSq", 4) == 0;
   net.resize(n_layers);
   for (auto &L : net) {
     if (!read_exact(f, &L.type, 4)) { fclose(f); return false; }
@@ -491,10 +496,24 @@ bool load_synthesis(const char *path, std::vector<SynthLayer> &net) {
       if (!read_exact(f, geom, 16)) { fclose(f); return false; }
       L.cin = geom[0]; L.cout = geom[1]; L.k = geom[2]; L.s = geom[3];
       if (L.cin <= 0 || L.cout <= 0 || L.k <= 0 || L.s <= 0) { fclose(f); return false; }
-      L.kernel.resize(static_cast<size_t>(L.k) * L.k * L.cin * L.cout);
+      const size_t kn = static_cast<size_t>(L.k) * L.k * L.cin * L.cout;
       L.bias.resize(L.cout);
-      if (!read_exact(f, L.kernel.data(), 4 * L.kernel.size()) ||
-          !read_exact(f, L.bias.data(), 4 * L.bias.size())) { fclose(f); return false; }
+      if (quant) {
+        L.kernel_q.resize(kn);
+        if (!read_exact(f, &L.wscale, 4) ||
+            !read_exact(f, L.kernel_q.data(), 2 * kn) ||
+            !read_exact(f, L.bias.data(), 4 * L.bias.size())) {
+          fclose(f);
+          return false;
+        }
+      } else {
+        L.kernel.resize(kn);
+        if (!read_exact(f, L.kernel.data(), 4 * kn) ||
+            !read_exact(f, L.bias.data(), 4 * L.bias.size())) {
+          fclose(f);
+          return false;
+        }
+      }
     } else if (L.type == kIGDN || L.type == kGDN) {
       if (!read_exact(f, &L.cout, 4)) { fclose(f); return false; }
       L.cin = L.cout;
@@ -577,6 +596,99 @@ void synth_conv(const SynthLayer &L, const std::vector<float> &in, int H,
     }
 }
 
+// ---- int16 engine (magic CRSq) ------------------------------------------
+//
+// The reference ships float AND int16 SADL builds (sadl_codec
+// CMakeLists.txt:18-43). Here the conv/deconv FLOPs — where all the work
+// is — run in integer: weights are exported int16 with one f32 dequantize
+// scale per layer, activations are quantized to int16 dynamically (max-abs
+// per layer boundary), products accumulate in int64 (int16*int16 sums over
+// k*k*cin terms overflow int32). GDN/bias/activations between conv layers
+// stay f32 islands, the same stance the TPU compute path takes for its
+// normalization numerics.
+
+float quantize_act(const std::vector<float> &in, std::vector<int16_t> &q) {
+  float amax = 0.f;
+  for (float v : in) amax = std::max(amax, std::fabs(v));
+  const float s = amax > 0.f ? 32767.f / amax : 1.f;
+  q.resize(in.size());
+  for (size_t i = 0; i < in.size(); ++i)
+    q[i] = static_cast<int16_t>(std::lrintf(in[i] * s));
+  return s;
+}
+
+void synth_deconv_q(const SynthLayer &L, const std::vector<float> &in, int H,
+                    int W, std::vector<float> &out, int &Ho, int &Wo) {
+  const int k = L.k, s = L.s, p = L.k / 2;
+  const int Hf = (H - 1) * s + k, Wf = (W - 1) * s + k;
+  Ho = H * s; Wo = W * s;
+  std::vector<int16_t> inq;
+  const float ascale = quantize_act(in, inq);
+  const float deq = L.wscale / ascale;
+  std::vector<int64_t> full(static_cast<size_t>(L.cout) * Hf * Wf, 0);
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      const int16_t *xin = inq.data() + static_cast<size_t>(i) * W + j;
+      for (int dy = 0; dy < k; ++dy)
+        for (int dx = 0; dx < k; ++dx) {
+          const int16_t *Wk =
+              L.kernel_q.data() + (static_cast<size_t>(dy) * k + dx) * L.cin * L.cout;
+          int64_t *o = full.data() + static_cast<size_t>(i * s + dy) * Wf + (j * s + dx);
+          for (int ci = 0; ci < L.cin; ++ci) {
+            const int32_t v = xin[static_cast<size_t>(ci) * H * W];
+            if (v == 0) continue;
+            const int16_t *wrow = Wk + static_cast<size_t>(ci) * L.cout;
+            for (int co = 0; co < L.cout; ++co)
+              o[static_cast<size_t>(co) * Hf * Wf] += static_cast<int64_t>(v) * wrow[co];
+          }
+        }
+    }
+  out.assign(static_cast<size_t>(L.cout) * Ho * Wo, 0.f);
+  for (int co = 0; co < L.cout; ++co)
+    for (int y = 0; y < Ho; ++y)
+      for (int x = 0; x < Wo; ++x)
+        out[(static_cast<size_t>(co) * Ho + y) * Wo + x] =
+            static_cast<float>(
+                full[(static_cast<size_t>(co) * Hf + (y + p)) * Wf + (x + p)]) *
+                deq +
+            L.bias[co];
+}
+
+void synth_conv_q(const SynthLayer &L, const std::vector<float> &in, int H,
+                  int W, std::vector<float> &out, int &Ho, int &Wo) {
+  const int k = L.k, s = L.s, p = L.k / 2;
+  Ho = (H + s - 1) / s; Wo = (W + s - 1) / s;
+  std::vector<int16_t> inq;
+  const float ascale = quantize_act(in, inq);
+  const float deq = L.wscale / ascale;
+  out.assign(static_cast<size_t>(L.cout) * Ho * Wo, 0.f);
+  std::vector<int64_t> acc(static_cast<size_t>(L.cout));
+  for (int oy = 0; oy < Ho; ++oy)
+    for (int ox = 0; ox < Wo; ++ox) {
+      std::fill(acc.begin(), acc.end(), 0);
+      for (int dy = 0; dy < k; ++dy) {
+        const int iy = oy * s + dy - p;
+        if (iy < 0 || iy >= H) continue;
+        for (int dx = 0; dx < k; ++dx) {
+          const int ix = ox * s + dx - p;
+          if (ix < 0 || ix >= W) continue;
+          const int16_t *Wk =
+              L.kernel_q.data() + (static_cast<size_t>(dy) * k + dx) * L.cin * L.cout;
+          for (int ci = 0; ci < L.cin; ++ci) {
+            const int32_t v = inq[(static_cast<size_t>(ci) * H + iy) * W + ix];
+            if (v == 0) continue;
+            const int16_t *wrow = Wk + static_cast<size_t>(ci) * L.cout;
+            for (int co = 0; co < L.cout; ++co)
+              acc[co] += static_cast<int64_t>(v) * wrow[co];
+          }
+        }
+      }
+      for (int co = 0; co < L.cout; ++co)
+        out[(static_cast<size_t>(co) * Ho + oy) * Wo + ox] =
+            static_cast<float>(acc[co]) * deq + L.bias[co];
+    }
+}
+
 void synth_gdn(const SynthLayer &L, std::vector<float> &act, int H, int W,
                bool inverse) {
   const int C = L.cout;
@@ -613,8 +725,14 @@ bool run_network(const std::vector<SynthLayer> &net, std::vector<float> act,
       if (L.cin != Co) return false;
       std::vector<float> next;
       int Hn, Wn;
-      if (L.type == kDeconv) synth_deconv(L, act, Ho, Wo, next, Hn, Wn);
-      else synth_conv(L, act, Ho, Wo, next, Hn, Wn);
+      const bool q = !L.kernel_q.empty();
+      if (L.type == kDeconv) {
+        if (q) synth_deconv_q(L, act, Ho, Wo, next, Hn, Wn);
+        else synth_deconv(L, act, Ho, Wo, next, Hn, Wn);
+      } else {
+        if (q) synth_conv_q(L, act, Ho, Wo, next, Hn, Wn);
+        else synth_conv(L, act, Ho, Wo, next, Hn, Wn);
+      }
       act.swap(next);
       Co = L.cout; Ho = Hn; Wo = Wn;
     } else if (L.type == kIGDN || L.type == kGDN) {

@@ -146,18 +146,28 @@ def _channel_bias_blob(bias: np.ndarray) -> bytes:
     ])
 
 
-def _write_crs(path: str, layers) -> str:
+def _write_crs(path: str, layers, magic: bytes = b"CRS1") -> str:
     with open(path, "wb") as f:
-        f.write(b"CRS1")
+        f.write(magic)
         f.write(struct.pack("<i", len(layers)))
         for blob in layers:
             f.write(blob)
     return path
 
 
-def _network_blobs(specs: Sequence, params: Dict) -> list:
-    """Serialize a _ConvStack spec tuple + flax params to CRS1 layer
-    blobs (shared by the synthesis and analysis exporters)."""
+def _network_blobs(specs: Sequence, params: Dict, dtype: str = "f32") -> list:
+    """Serialize a _ConvStack spec tuple + flax params to CRS layer
+    blobs (shared by the synthesis and analysis exporters).
+
+    ``dtype="int16"`` emits the quantized-weights variant (magic CRSq):
+    conv/deconv kernels stored int16 with one f32 dequantize scale per
+    layer — half the artifact size, and the C++ engine then runs the
+    conv/deconv FLOPs in int16×int16→int64 integer arithmetic (the
+    reference ships float AND int16 SADL builds, sadl_codec
+    CMakeLists.txt:18-43). GDN/bias stay f32 (the same f32-island stance
+    the TPU compute path takes for its normalization numerics)."""
+    if dtype not in ("f32", "int16"):
+        raise ValueError(f"unsupported export dtype {dtype!r}")
     layers = []
     for i, spec in enumerate(specs):
         kind = spec[0]
@@ -171,10 +181,20 @@ def _network_blobs(specs: Sequence, params: Dict) -> list:
                 kern = kern[::-1, ::-1]
             kh, kw, cin, cout = kern.shape
             assert kh == kw, "square kernels only"
+            if dtype == "int16":
+                wscale = float(np.abs(kern).max()) / 32767.0 or 1.0
+                kq = np.clip(
+                    np.rint(kern / wscale), -32767, 32767
+                ).astype(np.int16)
+                payload = struct.pack("<f", wscale) + np.ascontiguousarray(
+                    kq
+                ).tobytes()
+            else:
+                payload = np.ascontiguousarray(kern).tobytes()
             layers.append(b"".join([
                 struct.pack("<i", _SYNTH_TYPES[kind]),
                 struct.pack("<iiii", cin, cout, kh, spec[3]),
-                np.ascontiguousarray(kern).tobytes(),
+                payload,
                 bias.tobytes(),
             ]))
         elif kind in ("gdn", "igdn"):
@@ -200,17 +220,20 @@ def export_synthesis(
     specs: Sequence,
     gs_params: Dict,
     medians: Optional[np.ndarray] = None,
+    dtype: str = "f32",
 ) -> str:
-    """Write the g_s synthesis network as a portable CRS1 weights file the
+    """Write the g_s synthesis network as a portable CRS weights file the
     standalone C++ decoder runs with no Python (reference SADL decoder
-    parity, decoder_generic.h:121-213). ``specs`` is the model's _ConvStack
-    spec tuple; ``gs_params`` its flax params; ``medians`` (C,) the EB
-    dequantize offsets (prepended as a channel-bias layer)."""
+    parity, decoder_generic.h:121-213; float & int16 builds
+    CMakeLists.txt:18-43 — ``dtype="int16"`` is the int16 engine's
+    artifact). ``specs`` is the model's _ConvStack spec tuple;
+    ``gs_params`` its flax params; ``medians`` (C,) the EB dequantize
+    offsets (prepended as a channel-bias layer)."""
     layers = []
     if medians is not None:
         layers.append(_channel_bias_blob(medians))
-    layers.extend(_network_blobs(specs, gs_params))
-    return _write_crs(path, layers)
+    layers.extend(_network_blobs(specs, gs_params, dtype))
+    return _write_crs(path, layers, b"CRSq" if dtype == "int16" else b"CRS1")
 
 
 def export_analysis(
@@ -218,16 +241,18 @@ def export_analysis(
     specs: Sequence,
     ga_params: Dict,
     medians: Optional[np.ndarray] = None,
+    dtype: str = "f32",
 ) -> str:
-    """Write the g_a analysis network as a portable CRS1 weights file for
+    """Write the g_a analysis network as a portable CRS weights file for
     the standalone C++ encoder (reference SADL encoder parity,
     encoder_generic.h:141-349): conv/GDN layers followed by a channel-bias
     layer of -medians, so the C++ side's round-to-nearest-even on the
-    network output yields the EB symbols directly."""
-    layers = _network_blobs(specs, ga_params)
+    network output yields the EB symbols directly. ``dtype="int16"``
+    emits the quantized artifact for the int16 engine."""
+    layers = _network_blobs(specs, ga_params, dtype)
     if medians is not None:
         layers.append(_channel_bias_blob(-np.asarray(medians, np.float32)))
-    return _write_crs(path, layers)
+    return _write_crs(path, layers, b"CRSq" if dtype == "int16" else b"CRS1")
 
 
 def export_codec(

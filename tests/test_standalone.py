@@ -418,3 +418,88 @@ def test_decode_full_relu_variant(tmp_path):
     run_codec("decode-full", str(tables_p), str(bin_p), str(synth_p), str(out_p))
     x_hat_cpp = read_tensor_file(str(out_p))
     np.testing.assert_allclose(x_hat_cpp, x_hat_jax, rtol=1e-3, atol=1e-4)
+
+
+def test_decode_full_int16_engine(tmp_path):
+    """The int16 build (CRSq artifact: int16 weights, dynamic int16
+    activations, int64 accumulation — the reference ships float AND
+    int16 SADL builds, CMakeLists.txt:18-43) reconstructs within
+    quantization tolerance of the float engine, at half the artifact
+    size."""
+    import jax.numpy as jnp
+
+    from cra5_tpu.models import load_model
+    from cra5_tpu.standalone import export_synthesis
+
+    model, variables, codec = load_model(
+        "bmshj2018-factorized", 1, input_shape=(1, 3, 64, 64)
+    )
+    codec.update()
+    x = np.random.default_rng(7).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    sym = np.asarray(
+        model.apply(variables, jnp.asarray(x), method=type(model).encode_symbols)["y_sym"]
+    )[0]
+    tables_p = tmp_path / "eb.crt"
+    write_tables_file(str(tables_p), codec._eb_table)
+    sym_p = tmp_path / "sym.crx"
+    write_tensor_file(str(sym_p), sym.astype(np.int32))
+    bin_p = tmp_path / "y.bin"
+    run_codec("encode2", str(tables_p), str(sym_p), str(bin_p))
+
+    bound = model.bind(variables)
+    med = np.asarray(bound.entropy_bottleneck.medians())
+    f32_p, q_p = tmp_path / "g_s.crs", tmp_path / "g_s_q.crs"
+    export_synthesis(
+        str(f32_p), bound.g_s.specs, variables["params"]["g_s"], medians=med
+    )
+    export_synthesis(
+        str(q_p), bound.g_s.specs, variables["params"]["g_s"], medians=med,
+        dtype="int16",
+    )
+    assert q_p.stat().st_size < 0.6 * f32_p.stat().st_size
+
+    of, oq = tmp_path / "x_f.crx", tmp_path / "x_q.crx"
+    run_codec("decode-full", str(tables_p), str(bin_p), str(f32_p), str(of))
+    run_codec("decode-full", str(tables_p), str(bin_p), str(q_p), str(oq))
+    xf = read_tensor_file(str(of))
+    xq = read_tensor_file(str(oq))
+    assert xq.shape == xf.shape
+    rel = np.linalg.norm(xq - xf) / max(np.linalg.norm(xf), 1e-9)
+    assert rel < 2e-3, rel
+
+
+def test_encode_full_int16_engine(tmp_path):
+    """int16 analysis: `encode-full` with a CRSq artifact produces a
+    decodable stream whose symbols match the float path except where
+    quantization noise crosses a rounding boundary (>=99%)."""
+    import jax.numpy as jnp
+
+    from cra5_tpu.models import load_model
+    from cra5_tpu.standalone import export_analysis
+
+    model, variables, codec = load_model(
+        "bmshj2018-factorized", 1, input_shape=(1, 3, 64, 64)
+    )
+    codec.update()
+    x = np.random.default_rng(9).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    sym_jax = np.asarray(
+        model.apply(variables, jnp.asarray(x), method=type(model).encode_symbols)["y_sym"]
+    )[0]
+    bound = model.bind(variables)
+    med = np.asarray(bound.entropy_bottleneck.medians())
+    ana_p = tmp_path / "g_a_q.crs"
+    export_analysis(
+        str(ana_p), bound.g_a.specs, variables["params"]["g_a"], medians=med,
+        dtype="int16",
+    )
+    tables_p = tmp_path / "eb.crt"
+    write_tables_file(str(tables_p), codec._eb_table)
+    x_p = tmp_path / "x.crx"
+    write_tensor_file(str(x_p), x[0])
+    bin_p = tmp_path / "y.bin"
+    run_codec("encode-full", str(tables_p), str(x_p), str(ana_p), str(bin_p))
+    out_p = tmp_path / "sym.crx"
+    run_codec("decode2", str(tables_p), str(bin_p), str(out_p))
+    sym_cpp = read_tensor_file(str(out_p)).reshape(sym_jax.shape)
+    match = np.mean(sym_cpp == sym_jax)
+    assert match >= 0.99, match
