@@ -351,14 +351,47 @@ std::vector<uint8_t> lane_encode(const Tables &tb, const int32_t *symbols,
   return out;
 }
 
+// Tiny-bucket merge (v2 header bit 29): remap every cdf index whose
+// symbol count is below K to the NEAREST index with count >= K (ties
+// toward the smaller index; identity when no bucket reaches K). Must
+// match coder/rans_tpu.py::_merge_tiny_buckets_np exactly — both sides
+// re-derive it from the (identical, sorted) index sequence.
+void merge_tiny_buckets(std::vector<int32_t> &sidx, int32_t ncdfs,
+                        uint32_t K) {
+  std::vector<int64_t> counts(ncdfs, 0);
+  for (int32_t v : sidx) counts[static_cast<size_t>(v)]++;
+  bool any = false;
+  for (int32_t i = 0; i < ncdfs; ++i)
+    if (counts[i] >= static_cast<int64_t>(K)) { any = true; break; }
+  if (!any) return;
+  std::vector<int32_t> remap(ncdfs);
+  for (int32_t i = 0; i < ncdfs; ++i) {
+    if (counts[i] >= static_cast<int64_t>(K)) { remap[i] = i; continue; }
+    int32_t best = 0;
+    int64_t bestd = static_cast<int64_t>(ncdfs) + 1;
+    for (int32_t j = 0; j < ncdfs; ++j) {  // first minimum = smaller tie
+      if (counts[j] < static_cast<int64_t>(K)) continue;
+      const int64_t d = i > j ? i - j : j - i;
+      if (d < bestd) { bestd = d; best = j; }
+    }
+    remap[i] = best;
+  }
+  for (auto &v : sidx) v = remap[static_cast<size_t>(v)];
+}
+
 bool lane_decode(const Tables &tb, const uint8_t *data, size_t len,
                  const int32_t *indexes, size_t n, int32_t *out) {
   if (len < 20) return false;
   uint32_t header[5];
   memcpy(header, data, sizeof header);
   if (header[0] != kLaneMagic || header[1] != n) return false;
-  const uint32_t K = header[2], n_esc = header[3], n_words = header[4];
-  if (K == 0 || K > 4096) return false;
+  // bit 31: index-sorted lane assignment; bit 30: kernel-safety verdict
+  // (TPU decode routing only — irrelevant here); bit 29: tiny-bucket merge
+  const bool sorted = (header[2] & (1u << 31)) != 0;
+  const bool merged = (header[2] & (1u << 29)) != 0;
+  const uint32_t K = header[2] & ~(0x7u << 29);
+  const uint32_t n_esc = header[3], n_words = header[4];
+  if (K == 0 || K > (1u << 20)) return false;
   size_t off = 20;
   if (len < off + 4u * K + 2u * n_words) return false;
   std::vector<uint32_t> x(K);
@@ -369,12 +402,36 @@ bool lane_decode(const Tables &tb, const uint8_t *data, size_t len,
   std::vector<int32_t> esc_vals;
   if (!zigzag_read(data + off, len - off, n_esc, esc_vals)) return false;
 
+  // sorted streams: reproduce the encoder's stable index sort; decode in
+  // sorted order, write each value back through the permutation, consume
+  // escapes in sorted (scan) order. Padding uses the LAST sorted index
+  // (the encoder pads nondecreasing), vs row 0 for unsorted streams.
+  std::vector<int32_t> sidx;
+  std::vector<size_t> perm;
+  const int32_t *idx_seq = indexes;
+  if (sorted && n > 0) {
+    perm.resize(n);
+    for (size_t i = 0; i < n; ++i) perm[i] = i;
+    std::stable_sort(perm.begin(), perm.end(), [&](size_t a, size_t b) {
+      return indexes[a] < indexes[b];
+    });
+    sidx.resize(n);
+    for (size_t i = 0; i < n; ++i) {
+      const int32_t v = indexes[perm[i]];
+      if (v < 0 || v >= tb.ncdfs) return false;
+      sidx[i] = v;
+    }
+    if (merged) merge_tiny_buckets(sidx, tb.ncdfs, K);
+    idx_seq = sidx.data();
+  }
+  const int32_t pad_idx = sorted && n > 0 ? idx_seq[n - 1] : 0;
+
   const size_t M = (n + K - 1) / K;
   size_t ptr = 0, esc_i = 0;
   for (size_t t = 0; t < M; ++t) {
     for (uint32_t l = 0; l < K; ++l) {
       const size_t g = t * K + l;
-      const int32_t k = g < n ? indexes[g] : 0;
+      const int32_t k = g < n ? idx_seq[g] : pad_idx;
       const int32_t *cdf = tb.cdf.data() + static_cast<size_t>(k) * tb.stride;
       const int32_t size = tb.length[k];
       const int32_t max_value = size - 2;
@@ -392,11 +449,12 @@ bool lane_decode(const Tables &tb, const uint8_t *data, size_t len,
         x[l] = (x[l] << kPrecision) | stream[ptr++];
       }
       if (g < n) {
+        const size_t o = sorted ? perm[g] : g;
         if (lo == max_value) {
           if (esc_i >= esc_vals.size()) return false;
-          out[g] = esc_vals[esc_i++];
+          out[o] = esc_vals[esc_i++];
         } else {
-          out[g] = lo + tb.offset[k];
+          out[o] = lo + tb.offset[k];
         }
       }
     }

@@ -503,3 +503,52 @@ def test_encode_full_int16_engine(tmp_path):
     sym_cpp = read_tensor_file(str(out_p)).reshape(sym_jax.shape)
     match = np.mean(sym_cpp == sym_jax)
     assert match >= 0.99, match
+
+
+def _write_crb2(path, payload: bytes, dims) -> None:
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(b"CRB2")
+        f.write(struct.pack("<i", len(dims)))
+        f.write(np.asarray(dims, np.int32).tobytes())
+        f.write(struct.pack("<I", len(payload)))
+        f.write(payload)
+
+
+@pytest.mark.parametrize("shape,K", [((6, 8, 16), 128), ((6, 4, 8), 128)])
+def test_cpp_decodes_sorted_tpu_streams(table, tmp_path, shape, K):
+    """Production v2 streams encoded on TPU use the index-sorted lane
+    assignment (header bits 31/29); the standalone binary must decode
+    them — dense buckets (kernel-safe) AND all-sparse buckets (K > per-
+    channel count: unsafe bit, last-index padding), escapes included."""
+    from cra5_tpu.coder.rans_pallas import set_sorted_lanes
+    from cra5_tpu.coder.rans_tpu import LaneCoder, _parse_v2_header
+
+    rng = np.random.default_rng(21)
+    C, H, W = shape
+    idx = np.broadcast_to(
+        np.arange(C, dtype=np.int32)[:, None, None], shape
+    ).reshape(-1)
+    mv = table.cdf_length[idx] - 2
+    sym = ((rng.random(idx.size) * mv).astype(np.int32) + table.offset[idx])
+    esc = rng.random(idx.size) < 0.04
+    sym = np.where(
+        esc, sym + rng.integers(-200, 200, size=idx.size), sym
+    ).astype(np.int32)
+
+    set_sorted_lanes("on")
+    try:
+        payload = LaneCoder(table, num_lanes=K).encode(sym, idx)
+    finally:
+        set_sorted_lanes("auto")
+    assert _parse_v2_header(payload)[4] is True  # sorted bit set
+
+    bin_p = tmp_path / "y.crb2"
+    _write_crb2(bin_p, payload, shape)
+    tables_p = tmp_path / "t.crt"
+    write_tables_file(str(tables_p), table)
+    out_p = tmp_path / "sym.crx"
+    run_codec("decode2", str(tables_p), str(bin_p), str(out_p))
+    dec = read_tensor_file(str(out_p)).reshape(-1)
+    np.testing.assert_array_equal(dec, sym)
