@@ -818,8 +818,8 @@ int usage() {
   fprintf(stderr,
           "usage: cra5_codec encode <tables> <tensor> <out.bin>\n"
           "       cra5_codec decode <tables> <in.bin> <tensor-out>\n"
-          "       cra5_codec encode2 <tables> <tensor> <out.bin>   (v2 lane format)\n"
-          "       cra5_codec decode2 <tables> <in.bin> <tensor-out> (v2 lane format)\n"
+          "       cra5_codec encode2 <tables> <tensor> <out.bin> [indexes]   (v2 lane format)\n"
+          "       cra5_codec decode2 <tables> <in.bin> <tensor-out> [indexes] (v2 lane format)\n"
           "       cra5_codec rdoq <tables> <float-tensor> <lambda> <tensor-out>\n"
           "       cra5_codec decode-full <tables> <in.bin> <synthesis.crs> <float-tensor-out>\n"
           "       cra5_codec encode-full <tables> <float-tensor> <analysis.crs> <out.bin>\n");
@@ -879,12 +879,25 @@ int main(int argc, char **argv) {
     return save_tensor(argv[4], t) ? 0 : 1;
   }
 
-  if (mode == "encode2" && argc == 5) {
+  if (mode == "encode2" && (argc == 5 || argc == 6)) {
     Tables tb; Tensor t;
     if (!load_tables(argv[2], tb)) { fprintf(stderr, "bad tables\n"); return 1; }
     if (!load_tensor(argv[3], t) || t.is_float) { fprintf(stderr, "bad tensor\n"); return 1; }
     std::vector<int32_t> idx;
-    channel_indexes(t, idx);
+    // optional explicit per-symbol cdf-index tensor (e.g. a Gaussian-
+    // conditional scale-index grid); default is channel-major EB indexing
+    if (argc == 6) {
+      Tensor ti;
+      if (!load_tensor(argv[5], ti) || ti.is_float || ti.size() != t.size()) {
+        fprintf(stderr, "bad indexes tensor\n");
+        return 1;
+      }
+      for (int32_t v : ti.idata)
+        if (v < 0 || v >= tb.ncdfs) { fprintf(stderr, "index out of range\n"); return 1; }
+      idx.swap(ti.idata);
+    } else {
+      channel_indexes(t, idx);
+    }
     std::vector<uint8_t> payload = lane_encode(tb, t.idata.data(), idx.data(), t.size());
     FILE *f = fopen(argv[4], "wb");
     if (!f) return 1;
@@ -900,7 +913,7 @@ int main(int argc, char **argv) {
     return 0;
   }
 
-  if (mode == "decode2" && argc == 5) {
+  if (mode == "decode2" && (argc == 5 || argc == 6)) {
     Tables tb;
     if (!load_tables(argv[2], tb)) { fprintf(stderr, "bad tables\n"); return 1; }
     FILE *f = fopen(argv[3], "rb");
@@ -917,7 +930,18 @@ int main(int argc, char **argv) {
     if (!read_exact(f, payload.data(), nbytes)) { fclose(f); return 1; }
     fclose(f);
     std::vector<int32_t> idx;
-    channel_indexes(t, idx);
+    if (argc == 6) {  // explicit index tensor (GC scale-index grids)
+      Tensor ti;
+      if (!load_tensor(argv[5], ti) || ti.is_float || ti.size() != t.size()) {
+        fprintf(stderr, "bad indexes tensor\n");
+        return 1;
+      }
+      for (int32_t v : ti.idata)
+        if (v < 0 || v >= tb.ncdfs) { fprintf(stderr, "index out of range\n"); return 1; }
+      idx.swap(ti.idata);
+    } else {
+      channel_indexes(t, idx);
+    }
     t.idata.resize(t.size());
     if (!lane_decode(tb, payload.data(), payload.size(), idx.data(), t.size(), t.idata.data())) {
       fprintf(stderr, "v2 decode failed\n");

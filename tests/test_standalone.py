@@ -552,3 +552,69 @@ def test_cpp_decodes_sorted_tpu_streams(table, tmp_path, shape, K):
     run_codec("decode2", str(tables_p), str(bin_p), str(out_p))
     dec = read_tensor_file(str(out_p)).reshape(-1)
     np.testing.assert_array_equal(dec, sym)
+
+
+def test_cpp_decodes_merged_golden_with_explicit_indexes(tmp_path):
+    """decode2 with an explicit index tensor (GC-style scale-index grids,
+    not channel-major) decodes the on-disk sorted+merged golden — this
+    exercises the C++ tiny-bucket merge re-derivation on a NONTRIVIAL
+    remap (the golden's buckets are mixed-density by construction)."""
+    from pathlib import Path
+
+    from cra5_tpu.coder.rans_tpu import _parse_v2_header
+    from cra5_tpu.entropy.cdf import CdfTable
+
+    golden = Path(__file__).parent / "goldens"
+    z = np.load(golden / "rans_golden.npz")
+    table = CdfTable(
+        quantized_cdf=z["quantized_cdf"],
+        cdf_length=z["cdf_length"],
+        offset=z["offset"],
+    )
+    sg = np.load(golden / "sorted_golden.npz")
+    sym, idx = sg["sym"], sg["idx"]
+    payload = (golden / "stream_v2_sorted.bin").read_bytes()
+    assert _parse_v2_header(payload)[4:7] == (True, True, True)
+
+    bin_p = tmp_path / "y.crb2"
+    _write_crb2(bin_p, payload, (sym.size,))
+    tables_p = tmp_path / "t.crt"
+    write_tables_file(str(tables_p), table)
+    idx_p = tmp_path / "idx.crx"
+    write_tensor_file(str(idx_p), idx.astype(np.int32))
+    out_p = tmp_path / "sym.crx"
+    run_codec("decode2", str(tables_p), str(bin_p), str(out_p), str(idx_p))
+    np.testing.assert_array_equal(read_tensor_file(str(out_p)), sym)
+
+
+def test_cpp_explicit_index_roundtrip(table, tmp_path):
+    """encode2/decode2 with an explicit (non-channel-major) index tensor
+    roundtrip exactly and interop with the JAX LaneCoder."""
+    from cra5_tpu.coder.rans_tpu import LaneCoder
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    idx = rng.integers(0, table.num_indexes, size=n).astype(np.int32)
+    mv = table.cdf_length[idx] - 2
+    sym = ((rng.random(n) * mv).astype(np.int32) + table.offset[idx]).astype(np.int32)
+
+    tables_p = tmp_path / "t.crt"
+    write_tables_file(str(tables_p), table)
+    sym_p, idx_p = tmp_path / "s.crx", tmp_path / "i.crx"
+    write_tensor_file(str(sym_p), sym)
+    write_tensor_file(str(idx_p), idx)
+    bin_p = tmp_path / "y.crb2"
+    run_codec("encode2", str(tables_p), str(sym_p), str(bin_p), str(idx_p))
+    out_p = tmp_path / "o.crx"
+    run_codec("decode2", str(tables_p), str(bin_p), str(out_p), str(idx_p))
+    np.testing.assert_array_equal(read_tensor_file(str(out_p)), sym)
+
+    # cross-decode the C++ payload with the JAX coder
+    import struct as _struct
+
+    blob = open(bin_p, "rb").read()
+    ndim = _struct.unpack_from("<i", blob, 4)[0]
+    off = 8 + 4 * ndim
+    (nbytes,) = _struct.unpack_from("<I", blob, off)
+    payload = blob[off + 4 : off + 4 + nbytes]
+    np.testing.assert_array_equal(LaneCoder(table).decode(payload, idx), sym)
