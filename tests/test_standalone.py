@@ -618,3 +618,52 @@ def test_cpp_explicit_index_roundtrip(table, tmp_path):
     (nbytes,) = _struct.unpack_from("<I", blob, off)
     payload = blob[off + 4 : off + 4 + nbytes]
     np.testing.assert_array_equal(LaneCoder(table).decode(payload, idx), sym)
+
+
+def test_cpp_sorted_stream_corruption_clean_errors(table, tmp_path):
+    """Truncated/corrupted sorted containers make the binary exit
+    nonzero (clean error), never crash or emit a tensor."""
+    import subprocess
+
+    from cra5_tpu.coder.rans_pallas import set_sorted_lanes
+    from cra5_tpu.coder.rans_tpu import LaneCoder
+    from cra5_tpu.standalone import build_codec_binary
+
+    rng = np.random.default_rng(41)
+    C, H, W = 6, 8, 16
+    idx = np.broadcast_to(
+        np.arange(C, dtype=np.int32)[:, None, None], (C, H, W)
+    ).reshape(-1)
+    mv = table.cdf_length[idx] - 2
+    sym = ((rng.random(idx.size) * mv).astype(np.int32)
+           + table.offset[idx]).astype(np.int32)
+    set_sorted_lanes("on")
+    try:
+        payload = LaneCoder(table, num_lanes=128).encode(sym, idx)
+    finally:
+        set_sorted_lanes("auto")
+    tables_p = tmp_path / "t.crt"
+    write_tables_file(str(tables_p), table)
+    binp = build_codec_binary()
+
+    def run_case(raw: bytes) -> int:
+        bp = tmp_path / "bad.crb2"
+        _write_crb2(bp, raw, (C, H, W))
+        op = tmp_path / "bad_out.crx"
+        if op.exists():
+            op.unlink()
+        r = subprocess.run(
+            [binp, "decode2", str(tables_p), str(bp), str(op)],
+            capture_output=True, timeout=120,
+        )
+        return r.returncode
+
+    cases = [
+        payload[: len(payload) // 2],            # truncated mid-stream
+        payload[:12],                            # truncated header
+        b"\x00" * len(payload),                  # zeroed
+        payload[:8] + b"\xff\xff\xff\xff" + payload[12:],  # absurd K+flags
+        payload[:4] + b"\xff\xff\xff\xff" + payload[8:],   # wrong n
+    ]
+    for i, raw in enumerate(cases):
+        assert run_case(raw) != 0, f"case {i} accepted corrupt input"
