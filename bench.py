@@ -468,7 +468,10 @@ def _watchdog():
     attach_timeout = float(os.environ.get("BENCH_ATTACH_TIMEOUT", "420"))
     if os.environ.get("BENCH_HW_TESTS", "0") == "1":
         attach_timeout += 900.0  # hw tests attach (and can wedge) first
-    tries = int(os.environ.get("BENCH_ATTACH_TRIES", "6"))
+    # default sized for the observed failure mode: wedge episodes have
+    # lasted minutes to HOURS (one 9h+ episode on 2026-08-18); 10 tries
+    # with backoff covers ~2.8h before giving up with an error JSON
+    tries = int(os.environ.get("BENCH_ATTACH_TRIES", "10"))
     cooldown_base = float(os.environ.get("BENCH_ATTACH_COOLDOWN", "180"))
     env = dict(os.environ, BENCH_NO_WATCHDOG="1", BENCH_HEARTBEAT=hb)
 
