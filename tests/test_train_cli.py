@@ -59,3 +59,36 @@ def test_train_cli_config_mesh(tmp_path):
     c = Config.fromfile(str(cfg))
     model = build_model(c["model"])
     assert model.M == 12
+
+
+@pytest.mark.parametrize(
+    "name,n_channels,cfg_name",
+    [("train_era5_268v_1h.py", 268, "268"),
+     ("train_era5_159v_1h.py", 159, "159")],
+)
+def test_shipped_train_configs(name, n_channels, cfg_name):
+    """The reference-parity train configs (_base_ inheritance, env-var
+    data root) load, describe the right channel counts, and build."""
+    import os
+
+    from cra5_tpu.tools.train import build_model
+    from cra5_tpu.train.loop import TrainerConfig
+    from cra5_tpu.utils.config import Config
+
+    root = os.path.join(
+        os.path.dirname(__file__), "..", "cra5_tpu", "api", "configs", name
+    )
+    c = Config.fromfile(root)
+    v = c["vnames"]
+    total = len(v["pressure"]) * len(c["pressure_level"]) + len(v["single"])
+    assert total == n_channels
+    assert c["model"] == {"type": "VAEformer", "cfg": cfg_name}
+    # base keys merged under the child's vnames/levels
+    ds = c["dataset"]
+    assert ds["type"] == "ERA5NpyDataset" and ds["vnames"] == v
+    assert ds["years"] == ("1998-05-04", "2017-12-31")
+    assert c["val_dataset"]["years"][0].startswith("2018")
+    assert c["evaluator"]["metric_name"] == ["WRMSE", "MSE"]
+    TrainerConfig(**c["trainer"])  # every key is a real trainer field
+    model = build_model(c["model"])
+    assert model.cfg.in_chans == n_channels
