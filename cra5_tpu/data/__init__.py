@@ -1,5 +1,11 @@
 from .era5 import ERA5EvalDataset, ERA5NpyDataset, ERA5NcDataset, timestamp_range
-from .image import ImageFolder, RawVideoSequence, VideoFolder, Vimeo90kDataset
+from .image import (
+    ImageFolder,
+    PreGeneratedMemmapDataset,
+    RawVideoSequence,
+    VideoFolder,
+    Vimeo90kDataset,
+)
 from .prefetch import PrefetchLoader, batch_iterator
 from .transforms import rgb2ycbcr, ycbcr2rgb, yuv_444_to_420, yuv_420_to_444
 
@@ -9,6 +15,7 @@ __all__ = [
     "ERA5NcDataset",
     "timestamp_range",
     "ImageFolder",
+    "PreGeneratedMemmapDataset",
     "VideoFolder",
     "RawVideoSequence",
     "Vimeo90kDataset",

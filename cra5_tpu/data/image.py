@@ -69,6 +69,44 @@ class ImageFolder:
         return self.transform(img) if self.transform else img
 
 
+class PreGeneratedMemmapDataset:
+    """Memory-mapped pre-extracted uint8 patches, ``root/{training,
+    validation}.npy`` holding a flat (N, H, W, 3) array (reference
+    datasets/pregenerated.py:44-97). Fast training on pre-shuffled
+    patches: rows are read lazily off the memmap and returned as
+    float32 CHW in [0, 1] like every other dataset here."""
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        image_size: int | Sequence[int] = (256, 256),
+        transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    ):
+        if not Path(root).is_dir():
+            raise RuntimeError(f"Invalid path {root}")
+        if split == "train":
+            filename = "training.npy"
+        elif split == "valid":
+            filename = "validation.npy"
+        else:
+            raise ValueError(f"split {split!r} not in ('train', 'valid')")
+        if isinstance(image_size, int):
+            image_size = (image_size, image_size)
+        data = np.memmap(Path(root) / filename, mode="r", dtype="uint8")
+        if data.size == 0:
+            raise RuntimeError(f"empty memmap {Path(root) / filename}")
+        self.data = data.reshape((-1, image_size[0], image_size[1], 3))
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return self.data.shape[0]
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        img = np.asarray(self.data[index], np.float32).transpose(2, 0, 1) / 255.0
+        return self.transform(img) if self.transform else img
+
+
 class VideoFolder:
     """root/{split}/<video>/<frame>.png -> (T, C, H, W) clips of
     ``max_frames`` consecutive frames (reference datasets/video.py)."""

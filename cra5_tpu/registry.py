@@ -9,7 +9,14 @@ from .utils.registry import CRITERIONS, DATASETS, MODELS, OPTIMIZERS, SCHEDULERS
 
 def _register_all() -> None:
     from . import models as m
-    from .data import ERA5NcDataset, ERA5NpyDataset, ImageFolder, VideoFolder, Vimeo90kDataset
+    from .data import (
+        ERA5NcDataset,
+        ERA5NpyDataset,
+        ImageFolder,
+        PreGeneratedMemmapDataset,
+        VideoFolder,
+        Vimeo90kDataset,
+    )
     from .models.google import SampledYInBmshj2018
     from .models.elic2022 import ELIC2022
     from .models.inv2021 import InvCompress
@@ -47,6 +54,7 @@ def _register_all() -> None:
         "ERA5NpyDataset": ERA5NpyDataset,
         "ERA5NcDataset": ERA5NcDataset,
         "ImageFolder": ImageFolder,
+        "PreGeneratedMemmapDataset": PreGeneratedMemmapDataset,
         "VideoFolder": VideoFolder,
         "Vimeo90kDataset": Vimeo90kDataset,
     }.items():

@@ -140,6 +140,38 @@ def test_video_folder(tmp_path):
     assert ds[0].shape == (3, 3, 16, 16)
 
 
+def test_pregenerated_memmap(tmp_path):
+    from cra5_tpu.data import PreGeneratedMemmapDataset
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 255, (5, 8, 8, 3), dtype=np.uint8)
+    raw.tofile(tmp_path / "training.npy")
+    ds = PreGeneratedMemmapDataset(str(tmp_path), split="train", image_size=8)
+    assert len(ds) == 5
+    x = ds[2]
+    assert x.shape == (3, 8, 8) and x.dtype == np.float32
+    np.testing.assert_allclose(
+        x, raw[2].astype(np.float32).transpose(2, 0, 1) / 255.0
+    )
+    crop = PreGeneratedMemmapDataset(
+        str(tmp_path), split="train", image_size=(8, 8),
+        transform=lambda im: im[:, :4, :4],
+    )
+    assert crop[0].shape == (3, 4, 4)
+    with pytest.raises(ValueError):
+        PreGeneratedMemmapDataset(str(tmp_path), split="test")
+    with pytest.raises(RuntimeError):
+        PreGeneratedMemmapDataset(str(tmp_path / "nope"))
+    # registry-built like any other dataset
+    from cra5_tpu.registry import DATASETS
+
+    ds2 = DATASETS.build({
+        "type": "PreGeneratedMemmapDataset", "root": str(tmp_path),
+        "split": "train", "image_size": 8,
+    })
+    assert len(ds2) == 5
+
+
 def test_vimeo90k(tmp_path):
     from PIL import Image
 
