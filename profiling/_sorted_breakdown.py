@@ -40,6 +40,9 @@ def burst(fn, sync, R=8, reps=5):
 
 
 def main():
+    print(f"[{time.strftime('%H:%M:%S')}] attaching...", flush=True)
+    dev = jax.devices()
+    print(f"[{time.strftime('%H:%M:%S')}] attached: {dev}", flush=True)
     set_sorted_lanes("on")
     table = gc_update(get_scale_table())
     rng = np.random.default_rng(0)
@@ -152,6 +155,47 @@ def main():
     t_post = burst(lambda: post(values, sentinel, perm), sync_last)
     print(f"post (esc+unsort):         {t_post*1e3:7.1f} ms", flush=True)
 
+    # A/B: the merge remap's 2.65M 64-entry-table gather vs a positional
+    # searchsorted expansion (idx_sorted is nondecreasing, so the remap
+    # value is a function of position within the bucket bounds)
+    @jax.jit
+    def remap_gather(sidx):
+        ids = jnp.arange(ncdfs, dtype=jnp.int32)
+        bounds = jnp.searchsorted(sidx, jnp.arange(ncdfs + 1, dtype=jnp.int32))
+        counts = jnp.diff(bounds)
+        valid = counts >= K
+        dist = jnp.abs(ids[:, None] - ids[None, :])
+        dist = jnp.where(valid[None, :], dist, ncdfs + 1)
+        nearest = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        remap = jnp.where(valid | ~jnp.any(valid), ids, nearest)
+        return remap[sidx]
+
+    @jax.jit
+    def remap_positional(sidx):
+        ids = jnp.arange(ncdfs, dtype=jnp.int32)
+        bounds = jnp.searchsorted(sidx, jnp.arange(ncdfs + 1, dtype=jnp.int32))
+        counts = jnp.diff(bounds)
+        valid = counts >= K
+        dist = jnp.abs(ids[:, None] - ids[None, :])
+        dist = jnp.where(valid[None, :], dist, ncdfs + 1)
+        nearest = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        remap = jnp.where(valid | ~jnp.any(valid), ids, nearest)
+        # positional: out[j] = remap[bucket(j)] with no n-scale gather —
+        # remap[0] plus the sum of remap deltas at every crossed bound
+        pos = jnp.arange(sidx.shape[0], dtype=jnp.int32)
+        deltas = remap[1:] - remap[:-1]                     # (ncdfs-1,)
+        crossed = (pos[None, :] >= bounds[1:ncdfs, None]).astype(jnp.int32)
+        return remap[0] + jnp.sum(deltas[:, None] * crossed, axis=0)
+
+    sidx_in = jnp.sort(idx_dev)
+    a = np.asarray(remap_gather(sidx_in))
+    b = np.asarray(remap_positional(sidx_in))
+    assert np.array_equal(a, b), "remap variants disagree"
+    t_g = burst(lambda: remap_gather(sidx_in), sync_last)
+    t_p = burst(lambda: remap_positional(sidx_in), sync_last)
+    print(f"remap gather:              {t_g*1e3:7.1f} ms", flush=True)
+    print(f"remap positional:          {t_p*1e3:7.1f} ms", flush=True)
+
     # full path reference (includes H2D upload + header parse + sync RTT)
     def full():
         o = coder.decode_to_device(data, idx_dev)
@@ -165,6 +209,26 @@ def main():
         ts.append(time.time() - t0)
     print(f"full decode_to_device:     {np.median(ts)*1e3:7.1f} ms "
           f"(incl. upload + sync)", flush=True)
+
+    # lane-count scaling: K=16384 halves the kernel's step count for
+    # ~+1.2% container rate (per-lane state header)
+    coder16 = LaneCoder(table, num_lanes=16384)
+    data16 = coder16.encode_from_device(sym_dev, idx_dev)
+    out16 = coder16.decode_to_device(data16, idx_dev)
+    assert np.array_equal(np.asarray(out16), sym)
+
+    def full16():
+        o = coder16.decode_to_device(data16, idx_dev)
+        jax.device_get(o[:8])
+
+    full16()
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        full16()
+        ts.append(time.time() - t0)
+    print(f"full decode K=16384:       {np.median(ts)*1e3:7.1f} ms "
+          f"(bytes {len(data16)} vs {len(data)})", flush=True)
 
 
 if __name__ == "__main__":
