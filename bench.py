@@ -469,10 +469,11 @@ def _watchdog():
     if os.environ.get("BENCH_HW_TESTS", "0") == "1":
         attach_timeout += 900.0  # hw tests attach (and can wedge) first
     # default sized for the observed failure mode: wedge episodes have
-    # lasted minutes to HOURS (one 9h+ episode on 2026-08-18); 10 tries
-    # with backoff covers ~2.8h before giving up with an error JSON
-    tries = int(os.environ.get("BENCH_ATTACH_TRIES", "10"))
+    # lasted minutes to HOURS (one 11h+ episode on 2026-08-18); 16 tries
+    # with capped backoff covers ~4h before giving up with an error JSON
+    tries = int(os.environ.get("BENCH_ATTACH_TRIES", "16"))
     cooldown_base = float(os.environ.get("BENCH_ATTACH_COOLDOWN", "180"))
+    cooldown_cap = float(os.environ.get("BENCH_ATTACH_COOLDOWN_CAP", "600"))
     env = dict(os.environ, BENCH_NO_WATCHDOG="1", BENCH_HEARTBEAT=hb)
 
     for attempt in range(tries):
@@ -496,7 +497,7 @@ def _watchdog():
             time.sleep(5)
         if attached:
             sys.exit(child.wait())
-        cooldown = cooldown_base * (1 + 0.67 * attempt)
+        cooldown = min(cooldown_base * (1 + 0.67 * attempt), cooldown_cap)
         print(
             f"[bench] attach wedge: no heartbeat in {attach_timeout:.0f}s "
             f"(attempt {attempt + 1}/{tries}); killing pgid and retrying "
