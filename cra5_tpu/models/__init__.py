@@ -16,7 +16,14 @@ from .google import (
 )
 from .waseda import Cheng2020Anchor, Cheng2020Attention
 from .codec import ImageCodec, AutoregressiveCodec, make_codec
-from .zoo import create_model, init_model, load_model, model_architectures, cfgs
+from .zoo import (
+    cfgs,
+    create_model,
+    init_model,
+    load_model,
+    model_architectures,
+    ssf2020,
+)
 
 __all__ = [
     "VAEformer",

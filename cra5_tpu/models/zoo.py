@@ -151,3 +151,42 @@ mbt2018_mean = _named("mbt2018-mean")
 mbt2018 = _named("mbt2018")
 cheng2020_anchor = _named("cheng2020-anchor")
 cheng2020_attn = _named("cheng2020-attn")
+
+
+def ssf2020(
+    quality: int,
+    metric: str = "mse",
+    *,
+    pretrained: bool = False,
+    checkpoint_path: Optional[str] = None,
+    input_shape: Tuple[int, ...] = (3, 1, 3, 128, 128),
+    seed: int = 0,
+    **kwargs,
+):
+    """ScaleSpaceFlow video-zoo builder (reference zoo/video.py:96-107).
+
+    Same surface as the reference: quality 1-9 and metric mse/ms-ssim
+    select a checkpoint; the architecture itself is quality-independent.
+    Offline build: ``pretrained=True`` loads a converted msgpack from
+    ``checkpoint_path`` or ``$CRA5_TPU_CKPT_DIR/ssf2020-<metric>-<q>.msgpack``.
+    Returns (model, variables, codec) like :func:`load_model`.
+    """
+    if metric not in ("mse", "ms-ssim"):
+        raise ValueError(f'Invalid metric "{metric}"')
+    if quality < 1 or quality > 9:
+        raise ValueError(f'Invalid quality "{quality}", should be between (1, 9)')
+    from .video import ScaleSpaceFlow, ScaleSpaceFlowCodec
+
+    model = ScaleSpaceFlow(**kwargs)
+    if pretrained:
+        path = checkpoint_path or os.path.join(
+            os.environ.get("CRA5_TPU_CKPT_DIR", "checkpoints"),
+            f"ssf2020-{metric}-{quality}.msgpack",
+        )
+        from ..train.checkpoints import load_variables
+
+        variables = load_variables(path)
+    else:
+        frames = jnp.zeros(input_shape, jnp.float32)
+        variables = model.init(jax.random.PRNGKey(seed), frames)
+    return model, variables, ScaleSpaceFlowCodec(model, variables)

@@ -174,3 +174,31 @@ def test_make_codec_vaeformer_dispatch():
     assert out["shape"] == out["z_shape"]
     dec = codec.decompress(out["strings"], out["shape"])
     assert dec["x_hat"].shape == x.shape
+
+
+def test_ssf2020_video_zoo_validation():
+    """ssf2020 mirrors the reference video-zoo surface (zoo/video.py:96-107):
+    metric/quality validation happens before any model is built."""
+    from cra5_tpu.models import ssf2020
+
+    with pytest.raises(ValueError, match="metric"):
+        ssf2020(1, metric="psnr")
+    for q in (0, 10):
+        with pytest.raises(ValueError, match="quality"):
+            ssf2020(q)
+
+
+@pytest.mark.slow
+def test_ssf2020_video_zoo_builder():
+    """ssf2020 returns a working (model, variables, codec) triple."""
+    from cra5_tpu.models import ssf2020
+
+    model, variables, codec = ssf2020(
+        3, input_shape=(2, 1, 3, 128, 128), num_levels=2, mid_planes=8, planes=8
+    )
+    frames = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 3, 128, 128))
+    out = model.apply(variables, frames)
+    assert out["x_hat"].shape == frames.shape
+    strings, shapes = codec.compress([frames[i] for i in range(2)])
+    dec = codec.decompress(strings, shapes)
+    assert dec[0].shape == (1, 3, 128, 128)
