@@ -32,11 +32,21 @@ def write_bytes(fd: BinaryIO, values: bytes) -> int:
 
 
 def read_uints(fd: BinaryIO, n: int) -> Tuple[int, ...]:
-    return struct.unpack(f">{n}I", fd.read(n * 4))
+    buf = fd.read(n * 4)
+    if len(buf) != n * 4:
+        raise ValueError(
+            f"truncated .bin container: wanted {n * 4} header bytes, got {len(buf)}"
+        )
+    return struct.unpack(f">{n}I", buf)
 
 
 def read_bytes(fd: BinaryIO, n: int) -> bytes:
-    return fd.read(n)
+    buf = fd.read(n)
+    if len(buf) != n:
+        raise ValueError(
+            f"truncated .bin container: stream declares {n} bytes, got {len(buf)}"
+        )
+    return buf
 
 
 def save_bin(path: str, strings: Sequence[Sequence[bytes]], z_shape: Tuple[int, int]) -> int:
@@ -55,11 +65,26 @@ def save_bin(path: str, strings: Sequence[Sequence[bytes]], z_shape: Tuple[int, 
 
 
 def load_bin(path: str) -> Tuple[List[List[bytes]], Tuple[int, int]]:
-    """Read a v1 container -> (strings [[y],[z]], z_shape)."""
+    """Read a v1 container -> (strings [[y],[z]], z_shape).
+
+    Validated parse: header/stream truncation and length fields that
+    overrun the file raise ValueError instead of propagating struct
+    errors or silently returning short streams (the native decoders
+    downstream trust these lengths)."""
+    size = filesize(path)
     with open(path, "rb") as f:
         h, w, n_strings = read_uints(f, 3)
+        if n_strings > (size - 12) // 4 + 1:
+            raise ValueError(
+                f".bin header declares {n_strings} streams but the file has "
+                f"only {size} bytes"
+            )
         strings: List[List[bytes]] = []
         for _ in range(n_strings):
             (ln,) = read_uints(f, 1)
+            if ln > size:
+                raise ValueError(
+                    f".bin stream length {ln} exceeds file size {size}"
+                )
             strings.append([read_bytes(f, ln)])
     return strings, (h, w)

@@ -161,3 +161,38 @@ def test_v2_upload_batch_validates(v2_setup):
         coder.upload_batch([data[:10]])
     with pytest.raises(ValueError):
         coder.upload_batch([b"zzzz" + data[4:]])
+
+
+def test_bin_container_truncation_and_bad_lengths(tmp_path):
+    """The .bin archive container parse rejects truncation and overrun
+    length fields with ValueError (not struct.error / silent shortening)."""
+    import struct
+
+    from cra5_tpu.api.bitstream import load_bin, save_bin
+
+    path = str(tmp_path / "a.bin")
+    save_bin(path, [[b"yyyyyyyy"], [b"zzzz"]], (18, 36))
+    strings, shape = load_bin(path)
+    assert shape == (18, 36) and strings[0][0] == b"yyyyyyyy"
+
+    raw = open(path, "rb").read()
+    # truncate at every boundary class: mid-header, mid-length, mid-stream
+    for cut in (2, 11, 14, len(raw) - 2):
+        p = str(tmp_path / f"t{cut}.bin")
+        open(p, "wb").write(raw[:cut])
+        with pytest.raises(ValueError, match="truncated|Invalid|declares"):
+            load_bin(p)
+    # stream length overruns the file
+    bad = bytearray(raw)
+    bad[12:16] = struct.pack(">I", 1 << 30)
+    p = str(tmp_path / "len.bin")
+    open(p, "wb").write(bytes(bad))
+    with pytest.raises(ValueError, match="exceeds|truncated"):
+        load_bin(p)
+    # absurd stream count
+    bad = bytearray(raw)
+    bad[8:12] = struct.pack(">I", 1 << 28)
+    p = str(tmp_path / "count.bin")
+    open(p, "wb").write(bytes(bad))
+    with pytest.raises(ValueError, match="declares|truncated"):
+        load_bin(p)
