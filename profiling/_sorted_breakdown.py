@@ -187,14 +187,34 @@ def main():
         crossed = (pos[None, :] >= bounds[1:ncdfs, None]).astype(jnp.int32)
         return remap[0] + jnp.sum(deltas[:, None] * crossed, axis=0)
 
+    @jax.jit
+    def remap_valuekeyed(sidx):
+        ids = jnp.arange(ncdfs, dtype=jnp.int32)
+        bounds = jnp.searchsorted(sidx, jnp.arange(ncdfs + 1, dtype=jnp.int32))
+        counts = jnp.diff(bounds)
+        valid = counts >= K
+        dist = jnp.abs(ids[:, None] - ids[None, :])
+        dist = jnp.where(valid[None, :], dist, ncdfs + 1)
+        nearest = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        remap = jnp.where(valid | ~jnp.any(valid), ids, nearest)
+        # value-keyed delta sum: out = remap[0] + sum_k [sidx >= k]*delta_k
+        # — no gather and no bounds dependence in the n-scale expression
+        deltas = remap[1:] - remap[:-1]                     # (ncdfs-1,)
+        ge = (sidx[None, :] >= ids[1:, None]).astype(jnp.int32)
+        return remap[0] + jnp.sum(deltas[:, None] * ge, axis=0)
+
     sidx_in = jnp.sort(idx_dev)
     a = np.asarray(remap_gather(sidx_in))
     b = np.asarray(remap_positional(sidx_in))
+    c = np.asarray(remap_valuekeyed(sidx_in))
     assert np.array_equal(a, b), "remap variants disagree"
+    assert np.array_equal(a, c), "value-keyed remap disagrees"
     t_g = burst(lambda: remap_gather(sidx_in), sync_last)
     t_p = burst(lambda: remap_positional(sidx_in), sync_last)
+    t_v = burst(lambda: remap_valuekeyed(sidx_in), sync_last)
     print(f"remap gather:              {t_g*1e3:7.1f} ms", flush=True)
     print(f"remap positional:          {t_p*1e3:7.1f} ms", flush=True)
+    print(f"remap value-keyed:         {t_v*1e3:7.1f} ms", flush=True)
 
     # full path reference (includes H2D upload + header parse + sync RTT)
     def full():
