@@ -61,6 +61,18 @@ struct Tensor {
 
 bool read_exact(FILE *f, void *p, size_t n) { return fread(p, 1, n, f) == n; }
 
+// Untrusted dims from an artifact header: reject non-positive entries and
+// products that would drive a multi-GB resize() before read_exact can fail.
+bool dims_valid(const std::vector<int32_t> &dims) {
+  uint64_t n = 1;
+  for (int32_t d : dims) {
+    if (d <= 0 || d > (1 << 24)) return false;
+    n *= static_cast<uint64_t>(d);
+    if (n > (1ull << 31)) return false;
+  }
+  return true;
+}
+
 bool load_tables(const char *path, Tables &t) {
   FILE *f = fopen(path, "rb");
   if (!f) return false;
@@ -89,7 +101,7 @@ bool load_tensor(const char *path, Tensor &t) {
   int32_t ndim;
   if (!read_exact(f, &ndim, 4) || ndim <= 0 || ndim > 8) { fclose(f); return false; }
   t.dims.resize(ndim);
-  if (!read_exact(f, t.dims.data(), 4u * ndim)) { fclose(f); return false; }
+  if (!read_exact(f, t.dims.data(), 4u * ndim) || !dims_valid(t.dims)) { fclose(f); return false; }
   t.is_float = is_float;
   bool ok;
   if (is_float) {
@@ -269,6 +281,9 @@ void zigzag_append(std::vector<uint8_t> &out, int32_t v) {
 
 bool zigzag_read(const uint8_t *p, size_t len, size_t count, std::vector<int32_t> &vals) {
   vals.clear();
+  // every value consumes >= 1 byte, so a corrupt count > len can be
+  // rejected before it drives a multi-GB reserve().
+  if (count > len) return false;
   vals.reserve(count);
   size_t i = 0;
   for (size_t c = 0; c < count; ++c) {
@@ -393,12 +408,17 @@ bool lane_decode(const Tables &tb, const uint8_t *data, size_t len,
   const uint32_t n_esc = header[3], n_words = header[4];
   if (K == 0 || K > (1u << 20)) return false;
   size_t off = 20;
-  if (len < off + 4u * K + 2u * n_words) return false;
+  // 64-bit arithmetic: a corrupt n_words >= 2^31 must not wrap the
+  // 32-bit product and slip past this check (the refill loop then
+  // trusts n_words as the stream bound).
+  if (static_cast<uint64_t>(len) <
+      off + 4ull * K + 2ull * n_words)
+    return false;
   std::vector<uint32_t> x(K);
   memcpy(x.data(), data + off, 4u * K);
   off += 4u * K;
   const uint16_t *stream = reinterpret_cast<const uint16_t *>(data + off);
-  off += 2u * n_words;
+  off += 2ull * n_words;
   std::vector<int32_t> esc_vals;
   if (!zigzag_read(data + off, len - off, n_esc, esc_vals)) return false;
 
@@ -865,7 +885,8 @@ int main(int argc, char **argv) {
     Tensor t;
     t.dims.resize(ndim);
     uint32_t nbytes;
-    if (!read_exact(f, t.dims.data(), 4u * ndim) || !read_exact(f, &nbytes, 4)) { fclose(f); return 1; }
+    if (!read_exact(f, t.dims.data(), 4u * ndim) || !dims_valid(t.dims) ||
+        !read_exact(f, &nbytes, 4)) { fclose(f); return 1; }
     std::vector<uint32_t> words(nbytes / 4);
     if (!read_exact(f, words.data(), nbytes)) { fclose(f); return 1; }
     fclose(f);
@@ -925,7 +946,8 @@ int main(int argc, char **argv) {
     Tensor t;
     t.dims.resize(ndim);
     uint32_t nbytes;
-    if (!read_exact(f, t.dims.data(), 4u * ndim) || !read_exact(f, &nbytes, 4)) { fclose(f); return 1; }
+    if (!read_exact(f, t.dims.data(), 4u * ndim) || !dims_valid(t.dims) ||
+        !read_exact(f, &nbytes, 4)) { fclose(f); return 1; }
     std::vector<uint8_t> payload(nbytes);
     if (!read_exact(f, payload.data(), nbytes)) { fclose(f); return 1; }
     fclose(f);
@@ -990,7 +1012,8 @@ int main(int argc, char **argv) {
     Tensor t;
     t.dims.resize(ndim);
     uint32_t nbytes;
-    if (!read_exact(f, t.dims.data(), 4u * ndim) || !read_exact(f, &nbytes, 4)) { fclose(f); return 1; }
+    if (!read_exact(f, t.dims.data(), 4u * ndim) || !dims_valid(t.dims) ||
+        !read_exact(f, &nbytes, 4)) { fclose(f); return 1; }
     std::vector<uint8_t> payload(nbytes);
     if (!read_exact(f, payload.data(), nbytes)) { fclose(f); return 1; }
     fclose(f);

@@ -664,6 +664,11 @@ def test_cpp_sorted_stream_corruption_clean_errors(table, tmp_path):
         b"\x00" * len(payload),                  # zeroed
         payload[:8] + b"\xff\xff\xff\xff" + payload[12:],  # absurd K+flags
         payload[:4] + b"\xff\xff\xff\xff" + payload[8:],   # wrong n
+        # n_words >= 2^31: must not wrap the 32-bit bounds product and
+        # slip past the length check into an OOB stream walk
+        payload[:16] + b"\x01\x00\x00\x80" + payload[20:],
+        # n_esc = 2^32-1: must be rejected before a multi-GB reserve()
+        payload[:12] + b"\xff\xff\xff\xff" + payload[16:],
     ]
     for i, raw in enumerate(cases):
         assert run_case(raw) != 0, f"case {i} accepted corrupt input"
