@@ -57,19 +57,28 @@ def vaeformer_param_specs(params: Dict[str, Any], tp_axis: str = "tp") -> Dict[s
     )
 
 
-def shard_variables(mesh: Mesh, variables: Dict[str, Any], tp_axis: str = "tp") -> Dict[str, Any]:
-    """Place a variables tree on the mesh: tp-sharded transformer weights
-    (when the mesh has a tp axis), everything else replicated."""
+def mesh_param_specs(mesh: Mesh, params: Dict[str, Any], tp_axis: str = "tp") -> Dict[str, Any]:
+    """Per-leaf PartitionSpecs for this mesh: Megatron tp splits where the
+    mesh has a tp axis AND the dim divides evenly, replicated otherwise."""
     has_tp = tp_axis in mesh.axis_names and mesh.shape[tp_axis] > 1
 
-    def place(path, leaf):
+    def spec_of(path, leaf):
         spec = _spec_for_param(path, leaf, tp_axis) if has_tp else P()
-        # only shard dims that divide evenly; fall back to replication
         if any(s is not None for s in spec):
             for dim, axis in enumerate(spec):
                 if axis is not None and leaf.shape[dim] % mesh.shape[axis] != 0:
-                    spec = P()
-                    break
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+                    return P()
+        return spec
 
-    return jax.tree_util.tree_map_with_path(place, variables)
+    return jax.tree_util.tree_map_with_path(spec_of, params)
+
+
+def shard_variables(mesh: Mesh, variables: Dict[str, Any], tp_axis: str = "tp") -> Dict[str, Any]:
+    """Place a variables tree on the mesh: tp-sharded transformer weights
+    (when the mesh has a tp axis), everything else replicated."""
+    specs = mesh_param_specs(mesh, variables, tp_axis)
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        variables,
+        specs,
+    )

@@ -61,16 +61,24 @@ def main(argv=None):
 
     from ..models import VAEformer, VAEformerCodec
     from ..models.vaeformer import vaeformer_159, vaeformer_268, vaeformer_tiny
-    from ..parallel import make_mesh
+    from ..parallel import init_distributed, local_work_slice, make_mesh
 
+    # Multi-host fan-out (BASELINE config 5 beyond one host): the work
+    # list is partitioned across processes and each host dp-shards its
+    # own shard over its LOCAL chips — recompression is embarrassingly
+    # parallel, so no cross-host collective ever runs.
+    init_distributed()
     cfg = {"tiny": vaeformer_tiny, "268": vaeformer_268, "159": vaeformer_159}[args.config]()
     files = sorted(Path(args.input_dir).glob("*.npy"))
     if not files:
         print(f"no .npy in {args.input_dir}", file=sys.stderr)
         return 1
+    files = files[local_work_slice(len(files))]
+    if not files:  # fewer inputs than processes
+        return 0
 
-    n_dev = jax.device_count()
-    mesh = make_mesh({"dp": n_dev})
+    n_dev = jax.local_device_count()
+    mesh = make_mesh({"dp": n_dev}, devices=jax.local_devices())
     model = VAEformer(cfg)
     if args.checkpoint:
         from ..train.checkpoints import load_variables
@@ -103,6 +111,8 @@ def main(argv=None):
         json.dumps(
             {
                 "recompressed": len(written),
+                "process": jax.process_index(),
+                "processes": jax.process_count(),
                 "devices": n_dev,
                 "seconds": round(dt, 2),
                 "timesteps_per_sec": round(len(written) / dt, 3),

@@ -127,7 +127,12 @@ def load_train_state(path: str, template: Any, donate_template: bool = False) ->
         arr = arr.astype(ref_dtype)
         if isinstance(t, jax.Array):
             sharding = t.sharding
-            restored = jax.device_put(arr, sharding)
+            if t.is_fully_addressable:
+                restored = jax.device_put(arr, sharding)
+            else:  # multi-process: materialize only the local shards
+                restored = jax.make_array_from_callback(
+                    arr.shape, sharding, lambda idx, a=arr: a[idx]
+                )
             if donate_template:
                 t.delete()
         else:

@@ -117,6 +117,24 @@ class Trainer:
         self._step_fn = jax.jit(make_train_step(model, self.tx, cfg), donate_argnums=(0,))
 
     def init_state(self, example_batch: jax.Array) -> TrainState:
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # Multi-process: init on a HOST example (identical values on
+            # every process — deterministic PRNG), place globally, and
+            # derive opt/EMA state under jit so GSPMD owns the shardings.
+            host_example = jnp.zeros(example_batch.shape, example_batch.dtype)
+            variables = self.model.init(jax.random.PRNGKey(self.seed), host_example)
+            params = jax.device_get(variables["params"])
+            from ..parallel.distributed import put_tree
+            from ..parallel.sharding import mesh_param_specs
+
+            specs = mesh_param_specs(self.mesh, params)
+            params = put_tree(self.mesh, params, specs)
+            with self.mesh:
+                opt_state = jax.jit(self.tx.init)(params)
+                ema = jax.jit(ema_init)(params) if self.cfg.use_ema else None
+            step = put_tree(self.mesh, jnp.int32(0))
+            return TrainState(step=step, params=params, opt_state=opt_state, ema=ema)
         variables = self.model.init(jax.random.PRNGKey(self.seed), example_batch)
         params = variables["params"]
         if self.mesh is not None:
@@ -128,8 +146,16 @@ class Trainer:
         return TrainState(step=jnp.int32(0), params=params, opt_state=opt_state, ema=ema)
 
     def shard_batch(self, batch: jax.Array) -> jax.Array:
+        """Place a batch for the step. Single-process: the full batch,
+        dp-sharded when a mesh is set. Multi-process: ``batch`` is this
+        process's LOCAL shard (global batch = local x process_count),
+        assembled into one global array over the mesh dp axis."""
         if self.mesh is None or "dp" not in self.mesh.axis_names:
             return jnp.asarray(batch)
+        if jax.process_count() > 1:
+            from ..parallel.distributed import make_global_batch
+
+            return make_global_batch(self.mesh, batch, P("dp"))
         return jax.device_put(
             jnp.asarray(batch), NamedSharding(self.mesh, P("dp"))
         )
@@ -141,7 +167,9 @@ class Trainer:
         num_steps: Optional[int] = None,
         log_fn: Callable[[int, Dict[str, float]], None] = None,
     ) -> TrainState:
-        rng = jax.random.PRNGKey(self.seed + 1)
+        # host-side key: implicitly replicated, safe to pass into a jit
+        # whose other inputs are global multi-process arrays
+        rng = np.asarray(jax.random.PRNGKey(self.seed + 1))
         it = iter(data)
         if state is None:
             first = next(it)
@@ -172,14 +200,22 @@ class Trainer:
     def save(self, state: TrainState) -> str:
         """Write both a params-only model checkpoint (export/eval surface,
         reference .pth equivalent) and the full resumable train state
-        (adam moments + EMA shadow + step; SURVEY §5)."""
-        step = int(state.step)
+        (adam moments + EMA shadow + step; SURVEY §5). Multi-host safe:
+        every process gathers (cross-process shards ride an allgather),
+        only the primary writes, and a barrier keeps the cluster in step
+        so no process races ahead and re-donates buffers mid-write."""
+        from ..parallel.distributed import barrier, fetch_tree, is_primary
+
+        host_state = fetch_tree(state)
+        step = int(host_state.step)
         path = os.path.join(self.cfg.ckpt_dir, f"step_{step}.msgpack")
-        save_variables(path, {"params": jax.tree.map(lambda x: x, state.params)})
-        write_last_checkpoint(self.cfg.ckpt_dir, path)
         state_path = os.path.join(self.cfg.ckpt_dir, f"state_{step}.msgpack")
-        save_train_state(state_path, state)
-        write_last_checkpoint(self.cfg.ckpt_dir, state_path, "last_state")
+        if is_primary():
+            save_variables(path, {"params": host_state.params})
+            write_last_checkpoint(self.cfg.ckpt_dir, path)
+            save_train_state(state_path, host_state)
+            write_last_checkpoint(self.cfg.ckpt_dir, state_path, "last_state")
+        barrier("ckpt_save")
         return path
 
     def restore(self, example_batch: jax.Array, path: Optional[str] = None) -> TrainState:

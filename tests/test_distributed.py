@@ -1,0 +1,160 @@
+"""Multi-process (multi-host) runtime: a REAL 2-process jax.distributed
+CPU cluster (spawned subprocesses, local coordinator) must produce the
+same train-step metrics, byte-identical compressed streams, and a
+restorable checkpoint equal to a single-process mesh run (VERDICT r3 #1;
+SURVEY.md §2.5 DP row: "host data sharding per process").
+
+The reference has nothing to compare against here — its DP is the
+external mmengine runner (reference Readme.md:23) — so parity is defined
+against our own single-process oracle.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _clean_env():
+    env = os.environ.copy()
+    for k in ("XLA_FLAGS", "JAX_PLATFORMS", "CRA5_TPU_COORDINATOR",
+              "CRA5_TPU_NUM_PROCESSES", "CRA5_TPU_PROCESS_ID"):
+        env.pop(k, None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def test_single_process_init_is_noop():
+    from cra5_tpu.parallel import init_distributed, is_primary, local_work_slice
+
+    assert init_distributed() == 0  # nothing configured -> no-op
+    assert is_primary()
+    assert local_work_slice(10) == slice(0, 10)
+
+
+def test_init_requires_complete_cluster_spec():
+    from cra5_tpu.parallel.distributed import init_distributed
+
+    with pytest.raises(ValueError, match="num_processes"):
+        init_distributed(coordinator="127.0.0.1:1")
+
+
+def test_put_tree_and_fetch_tree_roundtrip():
+    from cra5_tpu.parallel import fetch_tree, make_mesh, put_tree
+
+    mesh = make_mesh({"dp": 4})
+    tree = {"a": np.arange(8, dtype=np.float32), "b": np.float32(3.5)}
+    placed = put_tree(mesh, tree, {"a": P("dp"), "b": P()})
+    assert placed["a"].sharding.spec == P("dp")
+    back = fetch_tree(placed)
+    np.testing.assert_array_equal(back["a"], tree["a"])
+    assert back["b"] == tree["b"]
+
+
+@pytest.mark.slow
+def test_two_process_cluster_matches_single_process(tmp_path):
+    """Spawn a 2-process CPU cluster (2 devices each -> 4 global) and
+    assert against the in-process single-mesh oracle:
+      * train metrics after 2 dp=4 steps match,
+      * per-sample compressed streams are byte-identical,
+      * the multi-host checkpoint restores to the oracle's params."""
+    port = _free_port()
+    outs = [str(tmp_path / f"worker{i}.json") for i in range(2)]
+    ckpt_dir = str(tmp_path / "ckpt")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "_dist_worker.py"),
+             str(i), "2", str(port), outs[i], ckpt_dir],
+            env=_clean_env(), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"
+    results = []
+    for path in outs:
+        with open(path) as f:
+            results.append(json.load(f))
+    assert all(r["process_count"] == 2 and r["global_devices"] == 4 for r in results)
+
+    # ---- oracle: same computation on a single-process dp=4 mesh ----
+    from cra5_tpu.models import VAEformer, vaeformer_tiny
+    from cra5_tpu.models.vaeformer import VAEformerCodec
+    from cra5_tpu.parallel import make_mesh
+    from cra5_tpu.train import Trainer, TrainerConfig
+    from cra5_tpu.train.checkpoints import load_train_state, resolve_last_checkpoint
+
+    cfg = vaeformer_tiny()
+    model = VAEformer(cfg)
+    mesh = make_mesh({"dp": 4})
+    trainer = Trainer(
+        model,
+        TrainerConfig(use_ema=True, log_every=10**9, ckpt_every=10**9,
+                      ckpt_dir=str(tmp_path / "oracle_ckpt")),
+        mesh=mesh,
+    )
+    full = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(42), (4, cfg.in_chans, *cfg.img_size)),
+        np.float32,
+    )
+    with mesh:
+        state = trainer.init_state(trainer.shard_batch(full))
+        rng = np.asarray(jax.random.PRNGKey(1))
+        for _ in range(2):
+            state, metrics = trainer._step_fn(state, trainer.shard_batch(full), rng)
+        metrics = {k: float(v) for k, v in metrics.items()}
+
+    # 1) train metrics parity (same global batch, same step count)
+    for r in results:
+        for k, v in metrics.items():
+            assert np.isclose(r["metrics"][k], v, rtol=1e-4, atol=1e-6), (
+                f"metric {k}: cluster {r['metrics'][k]} vs oracle {v}"
+            )
+
+    # 2) byte-identical compression: oracle codes the same per-process
+    # batch shapes (2+2) the cluster's fan-out used
+    variables = {"params": model.init(jax.random.PRNGKey(0), full[:1])["params"]}
+    codec = VAEformerCodec(model, variables)
+    codec.update()
+    import hashlib
+
+    oracle_hashes = [[], []]
+    for lo in (0, 2):
+        res = codec.compress(full[lo:lo + 2])
+        for kind in (0, 1):
+            oracle_hashes[kind] += [
+                hashlib.sha256(s).hexdigest() for s in res["strings"][kind]
+            ]
+    cluster_hashes = [[], []]
+    for r in sorted(results, key=lambda r: r["pid"]):
+        for kind in (0, 1):
+            cluster_hashes[kind] += r["stream_hashes"][kind]
+    assert cluster_hashes == oracle_hashes
+
+    # 3) the cluster's checkpoint (primary-written, gathered) restores to
+    # the oracle's trained params
+    template = trainer.init_state(trainer.shard_batch(full))
+    restored = load_train_state(
+        resolve_last_checkpoint(ckpt_dir, "last_state"), template
+    )
+    assert int(jax.device_get(restored.step)) == 2
+    ref_leaves = jax.tree.leaves(jax.device_get(state.params))
+    got_leaves = jax.tree.leaves(jax.device_get(restored.params))
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
