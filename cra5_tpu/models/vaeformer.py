@@ -510,8 +510,14 @@ class VAEformerCodec:
         return {"strings": [y_strings, z_strings], "z_shape": zs, "shape": zs}
 
     def decompress(
-        self, strings: Sequence, z_shape: Tuple[int, int], return_format: str = "reconstructed"
+        self, strings: Sequence, z_shape: Tuple[int, int], return_format: str = "reconstructed",
+        sharding=None,
     ):
+        """``sharding`` (a NamedSharding over the batch dim, e.g.
+        P("dp")): dp-shard the NN half of the decode — decoded z symbols
+        are placed sharded, so hyper-synthesis, the y decode scan, and
+        g_s all run SPMD over the mesh (tools/recompress.decompress_batch
+        is the mesh-aware wrapper)."""
         self._require_tables()
         y_strings, z_strings = strings[0], strings[1]
         B = len(z_strings)
@@ -535,6 +541,8 @@ class VAEformerCodec:
                 list(z_strings), z_idx_dev,
                 row_plan=full_z_shape[2] * full_z_shape[3],
             )
+            if sharding is not None:
+                z_sym = jax.device_put(z_sym, sharding)
             hz = self._scales_from_z(self.variables, z_sym, self._scale_table_dev)
             means, gc_idx = hz["means"], hz["gc_idx"]
             y_sym = self._gc_coder.decode_uploaded_batch(y_up, gc_idx)
@@ -550,6 +558,8 @@ class VAEformerCodec:
                     ]
                 )
             )
+            if sharding is not None:
+                z_sym = jax.device_put(z_sym, sharding)
             hz = self._scales_from_z(self.variables, z_sym, self._scale_table_dev)
             means = hz["means"]
             idx_dtype = jnp.uint8 if len(self.scale_table) <= 256 else jnp.int32

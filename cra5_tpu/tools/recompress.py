@@ -36,6 +36,17 @@ def recompress_batch(codec, mesh, x: np.ndarray) -> Dict:
         return codec.compress(xb)
 
 
+def decompress_batch(codec, mesh, strings, z_shape) -> np.ndarray:
+    """dp-sharded batch decompress (BASELINE config-5 mirror of
+    recompress_batch): the decoded z symbols are placed over the mesh dp
+    axis so hyper-synthesis, the y decode, and g_s run SPMD; returns the
+    full (B, C, H, W) reconstruction."""
+    sharding = NamedSharding(mesh, P("dp"))
+    with mesh:
+        out = codec.decompress(strings, z_shape, sharding=sharding)
+    return np.asarray(out["x_hat"])
+
+
 def write_bins(out_dir: str, names: List[str], result: Dict) -> List[str]:
     from ..api.bitstream import save_bin
 

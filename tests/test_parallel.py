@@ -59,6 +59,100 @@ def test_sharded_forward_matches_single_device():
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_sharded_grads_match_single_device():
+    """Gradient parity through the dp/tp collectives (VERDICT r3 #2c): the
+    dp=2 x tp=2 sharded loss gradient must equal the single-device
+    gradient leaf-by-leaf — a tp-induced backward divergence fails here
+    even though forward-only checks would pass."""
+    from cra5_tpu.train.loss import RateDistortionLoss
+
+    cfg = vaeformer_tiny()
+    model = VAEformer(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.in_chans, *cfg.img_size))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    rd = RateDistortionLoss(lmbda=0.01, bpp_weight=0.01)
+    rng = jax.random.PRNGKey(7)
+
+    def loss_fn(params, batch):
+        out = model.apply({"params": params}, batch, training=True, rng=rng)
+        return rd(out, batch)["loss"]
+
+    ref_grads = jax.grad(loss_fn)(variables["params"], x)
+
+    mesh = make_mesh({"dp": 2, "tp": 2}, devices=jax.devices()[:4])
+    with mesh:
+        sharded = shard_variables(mesh, variables)
+        xb = jax.device_put(x, jax.sharding.NamedSharding(mesh, P("dp")))
+        tp_grads = jax.jit(jax.grad(loss_fn))(sharded["params"], xb)
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(jax.device_get(ref_grads))[0]
+    flat_tp = jax.tree_util.tree_flatten_with_path(jax.device_get(tp_grads))[0]
+    assert len(flat_ref) == len(flat_tp)
+    for (pa, a), (pb, b) in zip(flat_ref, flat_tp):
+        name = "/".join(getattr(k, "key", str(k)) for k in pa)
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() <= 1e-4 * scale + 1e-7, (
+            f"grad {name}: max|diff|={np.abs(a - b).max():.3e} scale={scale:.3e}"
+        )
+
+
+def test_dp_sharded_decompress_matches_single_device():
+    """(VERDICT r3 #2a) dp-sharded decompress == single-device decompress."""
+    from cra5_tpu.models.vaeformer import VAEformerCodec
+    from cra5_tpu.tools.recompress import decompress_batch, recompress_batch
+
+    cfg = vaeformer_tiny()
+    model = VAEformer(cfg)
+    x = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (4, cfg.in_chans, *cfg.img_size)),
+        np.float32,
+    )
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    codec = VAEformerCodec(model, variables)
+    codec.update()
+    mesh = make_mesh({"dp": 4})
+    res = recompress_batch(codec, mesh, x)
+    single = np.asarray(codec.decompress(res["strings"], res["z_shape"])["x_hat"])
+    sharded = decompress_batch(codec, mesh, res["strings"], res["z_shape"])
+    assert np.allclose(sharded, single, atol=2e-4), np.abs(sharded - single).max()
+
+
+def test_dp_tp_codec_forward_and_roundtrip():
+    """(VERDICT r3 #2b) codec forward + compress/decompress under a
+    dp x tp mesh (tensor-parallel ViT on the codec path, not just the
+    train step) tracks the single-device result."""
+    from cra5_tpu.models.vaeformer import VAEformerCodec
+
+    cfg = vaeformer_tiny()
+    model = VAEformer(cfg)
+    x = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(4), (2, cfg.in_chans, *cfg.img_size)),
+        np.float32,
+    )
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    codec = VAEformerCodec(model, variables)
+    codec.update()
+    fwd_single = np.asarray(codec.forward(x)["x_hat"])
+    dec_single = None
+
+    mesh = make_mesh({"dp": 2, "tp": 2}, devices=jax.devices()[:4])
+    tp_vars = shard_variables(mesh, variables)
+    tp_codec = VAEformerCodec(model, tp_vars)
+    tp_codec.set_tables(codec._eb_table, codec._gc_table)
+    with mesh:
+        xb = jax.device_put(x, jax.sharding.NamedSharding(mesh, P("dp")))
+        fwd_tp = np.asarray(tp_codec.forward(xb)["x_hat"])
+        res = tp_codec.compress(xb)
+    assert np.allclose(fwd_tp, fwd_single, atol=2e-4), np.abs(fwd_tp - fwd_single).max()
+    single_res = codec.compress(x)
+    dec_single = np.asarray(
+        codec.decompress(single_res["strings"], single_res["z_shape"])["x_hat"]
+    )
+    dec_tp = np.asarray(tp_codec.decompress(res["strings"], res["z_shape"])["x_hat"])
+    assert np.allclose(dec_tp, dec_single, atol=2e-3), np.abs(dec_tp - dec_single).max()
+
+
 def test_graft_entry_single():
     import importlib.util, os
 
