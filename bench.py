@@ -29,6 +29,12 @@ import time
 import numpy as np
 
 
+def _fallback_events():
+    from cra5_tpu.coder.rans_tpu import fallback_events
+
+    return fallback_events()
+
+
 def _sync(arr):
     """True device sync: block_until_ready does NOT wait under this
     tunneled runtime (PERF.md round 3) — a 1-element device_get does."""
@@ -446,6 +452,9 @@ def main():
                     "vs_baseline_per_variable": round(
                         (throughput * 268) / ((1.0 / (0.0983 + 0.0343)) * 69), 4
                     ),
+                    # non-empty = a Pallas kernel failed its probe compile
+                    # and this bench ran a slower bit-identical path
+                    "kernel_fallbacks": _fallback_events(),
                 }
             }
         ),

