@@ -40,6 +40,9 @@ trainer = dict(
     ema_decay=0.9999,
     max_grad_norm=1.0,
     ckpt_every=1000,
+    # net-LR schedule (SCHEDULERS registry, train/schedulers.py); the
+    # horizon defaults to this config's `steps`
+    scheduler=dict(type="WarmupCosineLR", warmup_steps=2000, min_lr_ratio=0.1),
 )
 
 mesh = dict(dp=-1)  # all visible devices data-parallel

@@ -84,9 +84,18 @@ def main(argv=None):
     from ..train import Trainer, TrainerConfig
     from ..utils.config import Config
 
+    from ..parallel import init_distributed
+
+    init_distributed()  # no-op unless a multi-host cluster is configured
     cfg = Config.fromfile(args.config)
     model = build_model(cfg["model"])
-    tc = TrainerConfig(**cfg.get("trainer", {}))
+    trainer_cfg = dict(cfg.get("trainer", {}))
+    if "scheduler" in trainer_cfg and trainer_cfg["scheduler"] is not None:
+        trainer_cfg["scheduler"] = dict(trainer_cfg["scheduler"])
+    tc = TrainerConfig(**trainer_cfg)
+    # the schedule horizon defaults to the run's configured step budget
+    if tc.total_steps is None:
+        tc.total_steps = args.steps or cfg.get("steps")
     if args.ckpt_dir:
         tc.ckpt_dir = args.ckpt_dir
 

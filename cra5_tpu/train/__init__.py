@@ -7,6 +7,7 @@ from .checkpoints import (
     load_train_state,
 )
 from .optim import make_net_aux_optimizers, split_net_aux_params
+from .schedulers import build_schedule
 from .ema import EmaState, ema_init, ema_update
 from .loop import Trainer, TrainerConfig, TrainState, make_train_step
 
@@ -26,6 +27,7 @@ __all__ = [
     "load_train_state",
     "make_net_aux_optimizers",
     "split_net_aux_params",
+    "build_schedule",
     "EmaState",
     "ema_init",
     "ema_update",

@@ -18,6 +18,7 @@ from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -57,6 +58,11 @@ class TrainerConfig:
     log_every: int = 50
     ckpt_every: int = 1000
     ckpt_dir: str = "checkpoints"
+    # SCHEDULERS config dict for the net LR, e.g.
+    # dict(type="WarmupCosineLR", warmup_steps=1000, min_lr_ratio=0.1);
+    # None = constant learning_rate
+    scheduler: Optional[Dict[str, Any]] = None
+    total_steps: Optional[int] = None
 
 
 def make_train_step(
@@ -112,7 +118,8 @@ class Trainer:
         self.mesh = mesh
         self.seed = seed
         self.tx = make_net_aux_optimizers(
-            cfg.learning_rate, cfg.aux_learning_rate, cfg.max_grad_norm
+            cfg.learning_rate, cfg.aux_learning_rate, cfg.max_grad_norm,
+            scheduler=cfg.scheduler, total_steps=cfg.total_steps,
         )
         self._step_fn = jax.jit(make_train_step(model, self.tx, cfg), donate_argnums=(0,))
 

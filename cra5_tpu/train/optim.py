@@ -33,10 +33,19 @@ def make_net_aux_optimizers(
     learning_rate: float = 1e-4,
     aux_learning_rate: float = 1e-3,
     max_grad_norm: float = 1.0,
+    scheduler: Dict[str, Any] = None,
+    total_steps: int = None,
 ) -> optax.GradientTransformation:
+    """``scheduler``: optional SCHEDULERS config dict (e.g.
+    ``dict(type="WarmupCosineLR", warmup_steps=1000)``) applied to the
+    NET optimizer; the aux/quantile optimizer stays constant-LR (its
+    quantile fit is a running target, not a converging loss)."""
+    from .schedulers import build_schedule
+
+    net_lr = build_schedule(scheduler, learning_rate, total_steps)
     net_tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adam(learning_rate),
+        optax.adam(net_lr),
     )
     aux_tx = optax.adam(aux_learning_rate)
     return optax.multi_transform(

@@ -38,7 +38,8 @@ def test_train_cli_synthetic(tmp_path, capsys):
     cfg.write_text(
         "model = dict(type='VAEformer', cfg='tiny')\n"
         "dataset = dict(type='synthetic', shape=(2, 8, 41, 40), batch_size=2)\n"
-        "trainer = dict(use_ema=False, log_every=2, ckpt_every=10**9)\n"
+        "trainer = dict(use_ema=False, log_every=2, ckpt_every=10**9,\n"
+        "               scheduler=dict(type='WarmupCosineLR', warmup_steps=2))\n"
         "steps = 3\n"
     )
     rc = train_cli.main([str(cfg), "--ckpt-dir", str(tmp_path / "ckpt")])
