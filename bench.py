@@ -11,14 +11,21 @@ The headline is the better of sequential latency and 2-way pipelined
 throughput (independent roundtrips in flight; transfers overlap compute
 — BENCH_CONCURRENCY=1 disables).
 
-BENCH_FULL=1 additionally records every BASELINE.json config as extra
-JSON lines on stderr:
-  config 1: 159v single-timestep roundtrip
-  config 2: the headline 268v roundtrip (always)
-  config 3: batched encode throughput (BENCH_BATCH, default 8 in full mode)
+Recorded by DEFAULT in the detail JSON (BENCH_CONFIGS34=0 disables):
+  config 3: batched encode throughput (falls back batch 8 -> 4 -> 2)
   config 4: decoder-only serving (decompress stream at fixed input)
+  production_point: the roundtrip rate at the SURVEY §6 production bin
+    size (~2.6 MB, input amplitude scaled until the stream lands there),
+    with bpp + latitude-weighted-RMSE quality attached
+    (BENCH_PRODUCTION=0 disables, BENCH_PROD_BYTES overrides the target)
+  headline_wrmse: reconstruction quality at the headline point
+  kernel_fallbacks: non-empty if a Pallas kernel failed its probe compile
+
+BENCH_FULL=1 additionally records:
+  config 1: 159v single-timestep roundtrip (second model compile)
   config 5: data-parallel recompression on a virtual 8-device CPU mesh
             (run in a subprocess; the real chip count here is 1)
+  (config 2 is the headline 268v roundtrip, always)
 """
 
 import json
@@ -27,6 +34,10 @@ import sys
 import time
 
 import numpy as np
+
+
+class _SkipConfig(Exception):
+    """Config gated off for this run (recorded as skipped, not an error)."""
 
 
 def _fallback_events():
@@ -83,6 +94,11 @@ def main():
 
     import jax
 
+    # smoke-test knob: exercise the bench logic on the CPU backend with
+    # the tiny model (BENCH_MODEL=tiny) without touching the real chip
+    if os.environ.get("BENCH_CPU", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
     if os.environ.get("BENCH_HW_TESTS", "0") == "1":
         _run_hw_tests()
 
@@ -102,6 +118,7 @@ def main():
     import jax.numpy as jnp
 
     from cra5_tpu.models import VAEformer, VAEformerCodec, vaeformer_268
+    from cra5_tpu.models.vaeformer import vaeformer_tiny
 
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
@@ -118,7 +135,11 @@ def main():
         target=lambda: jax.device_get(jnp.zeros(8)), daemon=True
     ).start()
 
-    cfg = vaeformer_268()
+    cfg = (
+        vaeformer_tiny()
+        if os.environ.get("BENCH_MODEL", "268") == "tiny"
+        else vaeformer_268()
+    )
     model = VAEformer(cfg, dtype=dtype)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, cfg.in_chans, *cfg.img_size), jnp.float32)
@@ -242,8 +263,96 @@ def main():
     }
     print(json.dumps(result))
 
+    # quality attached to the headline operating point (VERDICT r3 #3):
+    # bpp is in detail already; WRMSE of the decompressed reconstruction
+    # against the benched input closes the "rate without distortion" gap
+    def _wrmse_summary(x_in, x_hat):
+        from cra5_tpu.metrics import wrmse
+
+        wc = np.asarray(
+            wrmse(jnp.asarray(x_hat), jnp.asarray(x_in), per_channel=True)
+        )
+        return {
+            "mean": round(float(wc.mean()), 4),
+            "p50": round(float(np.percentile(wc, 50)), 4),
+            "p95": round(float(np.percentile(wc, 95)), 4),
+            "max": round(float(wc.max()), 4),
+        }
+
+    headline_quality = {}
+    try:
+        headline_quality = _wrmse_summary(np.asarray(x), np.asarray(dec["x_hat"]))
+    except Exception as e:
+        headline_quality = {"error": repr(e)}
+
+    # ---- production operating point (VERDICT r3 #3 / weak #2) ----
+    # The calibrated random-init streams sit ~3x lighter than the ~2.6 MB
+    # bin the SURVEY §6 300x archive ratio implies, and the stream-bound
+    # phases scale with bytes. Scale the input amplitude until the bin
+    # lands in the production band and measure THAT rps, with quality.
+    production = {}
+    if os.environ.get("BENCH_PRODUCTION", "1") == "1":
+        try:
+            target = float(os.environ.get("BENCH_PROD_BYTES", str(2.6e6)))
+            amp, nb = 1.0, float(nbytes)
+            probes = [(amp, nb)]
+            xp = x
+            for _ in range(5):
+                if 0.85 * target <= nb <= 1.25 * target:
+                    break
+                # stream size grows ~log with amplitude; secant in log-amp,
+                # capped 4x per probe and 16x overall (escape-dominated
+                # streams saturate in bytes and would send amp to infinity)
+                new_amp = min(amp * min((target / nb) ** 0.8, 4.0), 16.0)
+                if new_amp == amp:  # pinned at the cap: accept what we have
+                    break
+                amp = new_amp
+                xp = (x * amp).astype(jnp.float32)
+                op = codec.compress(xp)
+                nb = float(sum(len(s[0]) for s in (op["strings"][0], op["strings"][1])))
+                probes.append((round(amp, 3), nb))
+            seq_p = []
+            out_p = None
+            for _ in range(max(3, iters // 2)):
+                t0 = time.time()
+                out_p = codec.compress(xp)
+                dec_p = codec.decompress(out_p["strings"], out_p["z_shape"])
+                _sync(dec_p["x_hat"])
+                seq_p.append(time.time() - t0)
+            prod_rate = batch / float(np.median(seq_p))
+            if concurrency > 1:
+                def rt_p(_):
+                    o = codec.compress(xp)
+                    d = codec.decompress(o["strings"], o["z_shape"])
+                    _sync(d["x_hat"])
+
+                pool_p = ThreadPoolExecutor(concurrency)
+                list(pool_p.map(rt_p, range(concurrency)))
+                wins = []
+                for _ in range(2):
+                    t0 = time.time()
+                    list(pool_p.map(rt_p, range(per_window)))
+                    wins.append(batch * per_window / (time.time() - t0))
+                pool_p.shutdown()
+                prod_rate = max(prod_rate, float(np.median(wins)))
+            pb = sum(len(s[0]) for s in (out_p["strings"][0], out_p["strings"][1]))
+            production = {
+                "production_rate_rps": round(prod_rate, 4),
+                "amp": round(float(amp), 3),
+                "bin_bytes": int(pb),
+                "bpp_721x1440": round(8 * pb / (721 * 1440), 4),
+                "median_roundtrip_s": round(float(np.median(seq_p)), 4),
+                "wrmse_summary": _wrmse_summary(np.asarray(xp), np.asarray(dec_p["x_hat"])),
+                "target_bytes": target,
+                "probes": probes,
+            }
+            print(json.dumps({"production_point": production}), file=sys.stderr)
+        except Exception as e:
+            production = {"error": repr(e)}
+
     extras = {}
-    if full:
+    configs34 = os.environ.get("BENCH_CONFIGS34", "1") == "1"
+    if full or configs34:
         # config 4: decoder-only serving (bin_to_latent + reconstruction);
         # pipelined like the headline — serving decodes a stream of bins
         try:
@@ -275,8 +384,11 @@ def main():
         except Exception as e:  # keep the headline metric alive
             extras["config4_decoder_only"] = {"error": repr(e)}
 
-        # config 1: 159v single-timestep roundtrip
+        # config 1: 159v single-timestep roundtrip (BENCH_FULL only — it
+        # compiles a second full model)
         try:
+            if not full:
+                raise _SkipConfig()
             from cra5_tpu.models import vaeformer_159
 
             cfg159 = vaeformer_159()
@@ -328,6 +440,8 @@ def main():
             }
             print(json.dumps({"config1": extras["config1_159v"]}), file=sys.stderr)
             del model159, v159, codec159, x159
+        except _SkipConfig:
+            extras["config1_159v"] = {"skipped": "BENCH_FULL=0"}
         except Exception as e:
             extras["config1_159v"] = {"error": repr(e)}
 
@@ -370,8 +484,11 @@ def main():
                 del xb, ob
 
         # config 5: data-parallel recompression over a virtual 8-device CPU
-        # mesh (subprocess so the TPU process stays single-owner)
+        # mesh (subprocess so the TPU process stays single-owner;
+        # BENCH_FULL only — minutes of CPU compile)
         try:
+            if not full:
+                raise _SkipConfig()
             import subprocess
             import tempfile
 
@@ -419,6 +536,8 @@ def main():
                         "tail": proc.stderr[-300:],
                     }
             print(json.dumps({"config5": extras.get("config5_mesh_recompress")}), file=sys.stderr)
+        except _SkipConfig:
+            extras["config5_mesh_recompress"] = {"skipped": "BENCH_FULL=0"}
         except Exception as e:
             extras["config5_mesh_recompress"] = {"error": repr(e)}
 
@@ -427,6 +546,8 @@ def main():
             {
                 "detail": {
                     **({"baseline_configs": extras} if extras else {}),
+                    **({"production_point": production} if production else {}),
+                    "headline_wrmse": headline_quality,
                     "mean_roundtrip_s": round(mean_t, 4),
                     "pipelined_rps": round(pipe_throughput, 4) if pipe_throughput else None,
                     "pipelined_rps_estimator": "median_of_windows" if pipe_throughput else None,
