@@ -27,6 +27,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 from typing import Any, Dict, Optional, Tuple
@@ -197,6 +198,36 @@ def convert_vaeformer_state_dict(raw_sd: Dict[str, Any], depth: int) -> Tuple[Di
     return {"params": params}, tables
 
 
+def verify_268_manifest(sd, manifest_path: str = None) -> dict:
+    """Check a state dict against the committed full-geometry 268v
+    manifest (assets/cra5_268v_state_manifest.json — key names + shapes
+    captured from the reference's hardcoded model_version==268 graph,
+    vaeformer.py:93-142, which is exactly the structure of the published
+    ``cra5_268v_300k.pth``). Returns {missing, extra, shape_mismatch};
+    all empty means the checkpoint will convert cleanly. Network policy
+    blocks downloading the real artifact here (PARITY.md), so this
+    manifest is the committed contract the one-command converter checks
+    real checkpoints against."""
+    import json
+
+    if manifest_path is None:
+        manifest_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "assets", "cra5_268v_state_manifest.json",
+        )
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    want = {k: tuple(v) for k, v in manifest["keys"].items()}
+    have = {k: tuple(v.shape) for k, v in sd.items()}
+    return {
+        "missing": sorted(set(want) - set(have)),
+        "extra": sorted(set(have) - set(want)),
+        "shape_mismatch": sorted(
+            k for k in set(want) & set(have) if want[k] != have[k]
+        ),
+    }
+
+
 def convert_checkpoint(path: str, depth: int = 24):
     """Load a torch .pth and convert (entry used by train.checkpoints)."""
     import torch
@@ -216,7 +247,32 @@ def main(argv=None):
     parser.add_argument("checkpoint", type=str)
     parser.add_argument("-o", "--output", type=str, required=True)
     parser.add_argument("--depth", type=int, default=24)
+    parser.add_argument(
+        "--no-verify", action="store_true",
+        help="skip the 268v state-manifest check (non-268 checkpoints)",
+    )
     args = parser.parse_args(argv)
+
+    if not args.no_verify and args.depth == 24:
+        import torch
+
+        raw = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
+        for key in ("state_dict", "model", "net"):
+            if isinstance(raw, dict) and key in raw and isinstance(raw[key], dict):
+                raw = raw[key]
+                break
+        report = verify_268_manifest(raw)
+        if any(report.values()):
+            print(
+                "manifest mismatch vs the published 268v structure "
+                f"(pass --no-verify to force): {report}",
+                file=sys.stderr,
+            )
+            return 1
+        print(
+            f"manifest OK: {len(raw)} keys match the committed 268v "
+            "full-geometry fingerprint", file=sys.stderr,
+        )
 
     variables = convert_checkpoint(args.checkpoint, depth=args.depth)
     tables = variables.pop("_cdf_tables", {})
