@@ -1,0 +1,232 @@
+"""VIVT-69 operating-point experiment (VERDICT r3 #5): train a 69-variable
+VAEformer toward the reference's published RD band and emit an RD point +
+plot against the shipped anchors.
+
+The published VIVT-69 anchors (reference utils/plot/VIVT-69.json:52-58,
+vendored at tools/plot_data/VIVT-69.json) sit at bpsp 0.139-0.157 and
+normalized MSE ~0.0114, measured on real normalized ERA5. Real ERA5 is
+unreachable here (zero network egress — PARITY.md), so this experiment
+trains on SPECTRALLY-SHAPED synthetic fields: per-channel Gaussian random
+fields with a power-law spectrum ~ (k + k0)^-alpha, standardized to unit
+variance — the same smooth, large-scale-dominated statistics that make
+normalized reanalysis fields compressible (alpha ~= 3 matches the
+atmospheric kinetic-energy inertial range). The resulting (bpsp, MSE)
+point shares axes and normalization with the anchors; the data provenance
+caveat is printed into the output JSON.
+
+Usage (one chip, ~30-60 min at the default geometry):
+    python -m cra5_tpu.tools.vivt69_experiment -o RD_VIVT69.json \
+        [--steps 4000] [--lmbdas 2.0 4.0] [--geometry 181 360] [--pilot]
+
+Outputs: <out>.json (plot-data format: {name, results: {bpsp, MSE}}),
+and with --plot a PNG of our points over the anchor band.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def spectral_fields(rng: np.random.Generator, n: int, c: int, h: int, w: int,
+                    alpha: float = 3.0, k0: float = 3.0) -> np.ndarray:
+    """(n, c, h, w) unit-variance Gaussian random fields with isotropic
+    power spectrum ~ (|k| + k0)^-alpha (large scales dominate, like
+    standardized reanalysis fields)."""
+    ky = np.fft.fftfreq(h)[:, None] * h
+    kx = np.fft.rfftfreq(w)[None, :] * w
+    kk = np.sqrt(ky * ky + kx * kx)
+    amp = (kk + k0) ** (-alpha / 2.0)
+    amp[0, 0] = 0.0  # zero-mean
+    out = np.empty((n, c, h, w), np.float32)
+    for i in range(n):
+        for j in range(c):
+            phase = rng.normal(size=kk.shape) + 1j * rng.normal(size=kk.shape)
+            f = np.fft.irfft2(amp * phase, s=(h, w))
+            out[i, j] = f / (f.std() + 1e-12)
+    return out
+
+
+def vivt69_config(h: int, w: int, pilot: bool = False):
+    """69-channel VAEformer at a reduced geometry obeying the ERA5
+    patch relation H = (Hp-1)*10 + 11 (vit_nlc.py:628-633)."""
+    from ..models.vaeformer import VAEformerConfig
+
+    hp = (h - 11) // 10 + 1
+    wp = w // 10
+    assert (hp - 1) * 10 + 11 == h and wp * 10 == w, (h, w)
+    if pilot:
+        lat, width, depth, heads = 32, 64, 4, 4
+        hyw, hyd, hyh = 48, 2, 4
+    else:
+        lat, width, depth, heads = 128, 384, 10, 8
+        hyw, hyd, hyh = 160, 4, 8
+    # rectangular window cycle scaled to the reduced token grid (the
+    # 268v pattern (24,24)/(12,48)/(48,12) scaled by the grid ratio)
+    ws = max(2, hp // 3)
+    return VAEformerConfig(
+        in_chans=69,
+        img_size=(h, w),
+        patch_size=(11, 10),
+        patch_stride=(10, 10),
+        embed_dim=lat,          # y latent channels
+        y_channels=width,       # ViT tower width
+        z_channels=lat,
+        depth=depth,
+        num_heads=heads,
+        window_sizes=((ws, ws), (ws // 2 or 1, 2 * ws), (2 * ws, ws // 2 or 1)),
+        interval=4,
+        hyper_embed_dim=hyw,
+        hyper_depth=hyd,
+        hyper_num_heads=hyh,
+        hyper_patch=(2, 2),
+        name=f"vaeformer_vivt69_{h}x{w}",
+    )
+
+
+def evaluate(codec, model, variables, val, lmbda):
+    """Real-coded bpsp + normalized MSE on held-out fields."""
+    import jax
+    import jax.numpy as jnp
+
+    n, c, h, w = val.shape
+    bits = 0
+    mse = 0.0
+    for i in range(n):
+        x = val[i : i + 1]
+        out = codec.compress(x)
+        nbytes = sum(len(s[0]) for s in (out["strings"][0], out["strings"][1]))
+        bits += 8 * nbytes
+        dec = codec.decompress(out["strings"], out["z_shape"])
+        x_hat = np.asarray(dec["x_hat"])
+        mse += float(np.mean((x_hat - x) ** 2))
+    return bits / (n * c * h * w), mse / n
+
+
+def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import VAEformer
+    from ..models.vaeformer import VAEformerCodec
+    from ..train import Trainer, TrainerConfig
+
+    cfg = vivt69_config(h, w, pilot)
+    model = VAEformer(cfg)
+    rng = np.random.default_rng(seed)
+    n_train, n_val = 24, 4
+    log(f"lmbda={lmbda}: generating {n_train + n_val} spectral fields {h}x{w}x69")
+    fields = spectral_fields(rng, n_train + n_val, 69, h, w)
+    train, val = fields[:n_train], fields[n_train:]
+
+    tc = TrainerConfig(
+        learning_rate=2e-4, lmbda=lmbda, bpp_weight=1.0, use_ema=False,
+        log_every=max(1, steps // 10), ckpt_every=10**9,
+        scheduler=dict(type="WarmupCosineLR", warmup_steps=max(1, steps // 20)),
+        total_steps=steps,
+    )
+    trainer = Trainer(model, tc, seed=seed)
+
+    def batches():
+        ep_rng = np.random.default_rng(seed + 1)
+        while True:
+            idx = ep_rng.integers(0, n_train, size=batch)
+            yield jnp.asarray(train[idx])
+
+    t0 = time.time()
+    it = batches()
+    state = trainer.init_state(next(it))
+    last = {}
+
+    def log_fn(step, m):
+        nonlocal last
+        last = m
+        log(f"  step {step}: " + " ".join(f"{k}={v:.4g}" for k, v in m.items()))
+
+    state = trainer.fit(batches(), state=state, num_steps=steps, log_fn=log_fn)
+    log(f"  trained {steps} steps in {time.time() - t0:.0f}s")
+
+    variables = {"params": jax.device_get(state.params)}
+    codec = VAEformerCodec(model, variables)
+    codec.update(force=True)
+    bpsp, mse = evaluate(codec, model, variables, val, lmbda)
+    log(f"  lmbda={lmbda}: coded bpsp={bpsp:.4f} norm-MSE={mse:.5f}")
+    return {"lmbda": lmbda, "bpsp": round(bpsp, 5), "MSE": round(mse, 6),
+            "train_metrics": {k: round(float(v), 5) for k, v in last.items()}}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-o", "--out", default="RD_VIVT69.json")
+    parser.add_argument("--steps", type=int, default=4000)
+    parser.add_argument("--lmbdas", type=float, nargs="+", default=[2.0, 6.0])
+    parser.add_argument("--geometry", type=int, nargs=2, default=[181, 360])
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--pilot", action="store_true",
+                        help="small dims for a CPU smoke run")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--plot", type=str, default=None,
+                        help="write a PNG vs the shipped VIVT-69 anchors")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    def log(msg):
+        print(f"[vivt69] {msg}", file=sys.stderr, flush=True)
+
+    h, w = args.geometry
+    points = [
+        run_lambda(l, args.steps, h, w, args.batch, args.pilot, args.seed, log)
+        for l in args.lmbdas
+    ]
+    points.sort(key=lambda p: p["bpsp"])
+    result = {
+        "name": "cra5_tpu VAEformer-69 (synthetic spectral fields)",
+        "description": (
+            "trained + real-coded on alpha=3 spectral Gaussian fields at "
+            f"{h}x{w} (real ERA5 unreachable offline — PARITY.md); axes "
+            "match the published VIVT-69 anchors (normalized MSE, bpsp)"
+        ),
+        "geometry": [69, h, w],
+        "steps": args.steps,
+        "results": {
+            "bpsp": [p["bpsp"] for p in points],
+            "MSE": [p["MSE"] for p in points],
+        },
+        "points": points,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({"out": args.out, "points": [
+        {"lmbda": p["lmbda"], "bpsp": p["bpsp"], "MSE": p["MSE"]} for p in points
+    ]}))
+
+    if args.plot:
+        from . import plot as plot_tool
+
+        anchors = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "plot_data", "VIVT-69.json"
+        )
+        plot_tool.main([
+            "-f", args.out, anchors, "--metric", "MSE", "--rate-key", "bpsp",
+            "--title", "VIVT-69 band: cra5_tpu vs published anchors",
+            "-o", args.plot,
+        ])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
