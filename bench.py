@@ -573,6 +573,19 @@ def main():
                     "vs_baseline_per_variable": round(
                         (throughput * 268) / ((1.0 / (0.0983 + 0.0343)) * 69), 4
                     ),
+                    # chips x per-chip projection for the north-star v5e-8
+                    # topology: valid because dp archive fan-out is proven
+                    # collective-free on the compiled HLO (docs/SCALING.md;
+                    # tests/test_parallel.py::test_dp_sharded_codec_hlo_has_no_collectives)
+                    "v5e8_projection": {
+                        "aggregate_rps": round(8 * (pipe_throughput or throughput), 2),
+                        "production_aggregate_rps": (
+                            round(8 * production["production_rate_rps"], 2)
+                            if production and "production_rate_rps" in production
+                            else None
+                        ),
+                        "basis": "8 chips x measured per-chip rps; zero-collective dp fan-out (SCALING.md)",
+                    },
                     # non-empty = a Pallas kernel failed its probe compile
                     # and this bench ran a slower bit-identical path
                     "kernel_fallbacks": _fallback_events(),

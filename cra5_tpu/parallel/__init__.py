@@ -8,6 +8,7 @@ from .sharding import (
 )
 from .distributed import (
     barrier,
+    kv_barrier,
     fetch_tree,
     init_distributed,
     is_primary,
@@ -27,6 +28,7 @@ __all__ = [
     "vaeformer_param_specs",
     "shard_variables",
     "barrier",
+    "kv_barrier",
     "fetch_tree",
     "init_distributed",
     "is_primary",

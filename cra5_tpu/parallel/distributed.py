@@ -116,6 +116,24 @@ def barrier(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def kv_barrier(name: str, timeout_s: float = 600.0) -> None:
+    """Barrier through the coordination service's key-value store — unlike
+    :func:`barrier` this dispatches NO device computation, so it is safe to
+    use for aligning processes BEFORE the first collective. The CPU gloo
+    backend hard-codes a 30s rendezvous timeout on context setup
+    (``GetKeyValue() timed out``): if compile times skew processes by more
+    than that, the first psum dies. Compile AOT, ``kv_barrier``, then
+    dispatch. No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:  # pragma: no cover - initialize() always sets it
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def make_global_batch(mesh: Mesh, local_batch, spec: P = P("dp")) -> jax.Array:
     """Assemble a global array from this process's LOCAL batch shard.
 

@@ -42,6 +42,7 @@ def main():
     from cra5_tpu.parallel import (
         barrier,
         init_distributed,
+        kv_barrier,
         local_work_slice,
         make_mesh,
     )
@@ -79,9 +80,17 @@ def main():
     with mesh:
         state = trainer.init_state(trainer.shard_batch(local))
         rng = np.asarray(jax.random.PRNGKey(1))
+        # The first cross-process collective (the step's gradient psum)
+        # initializes the gloo context, whose rendezvous hard-times-out at
+        # 30s. Compile AOT first (no dispatch), then align every process on
+        # a pure KV-store barrier, THEN execute — so compile-time skew
+        # under machine load can never push the rendezvous past 30s.
+        batch = trainer.shard_batch(local)
+        step_exec = trainer._step_fn.lower(state, batch, rng).compile()
+        kv_barrier("step-compiled")
         metrics = None
         for _ in range(2):
-            state, metrics = trainer._step_fn(state, trainer.shard_batch(local), rng)
+            state, metrics = step_exec(state, trainer.shard_batch(local), rng)
         metrics = {k: float(v) for k, v in metrics.items()}
     assert int(jax.device_get(state.step)) == 2
 

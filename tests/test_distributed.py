@@ -72,21 +72,30 @@ def test_two_process_cluster_matches_single_process(tmp_path):
       * train metrics after 2 dp=4 steps match,
       * per-sample compressed streams are byte-identical,
       * the multi-host checkpoint restores to the oracle's params."""
-    port = _free_port()
     outs = [str(tmp_path / f"worker{i}.json") for i in range(2)]
     ckpt_dir = str(tmp_path / "ckpt")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "tests", "_dist_worker.py"),
-             str(i), "2", str(port), outs[i], ckpt_dir],
-            env=_clean_env(), cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for i in range(2)
-    ]
-    logs = [p.communicate(timeout=600)[0] for p in procs]
-    for i, p in enumerate(procs):
-        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"
+    # One retry on the gloo rendezvous hard-timeout only: the workers
+    # align on a KV barrier before their first collective, but a loaded
+    # machine can still (rarely) skew process *startup* past 30s.
+    for attempt in range(2):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests", "_dist_worker.py"),
+                 str(i), "2", str(port), outs[i], ckpt_dir],
+                env=_clean_env(), cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for i in range(2)
+        ]
+        logs = [p.communicate(timeout=600)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        flake = any("GetKeyValue() timed out" in l or "Gloo context" in l
+                    for l in logs)
+        if not (flake and attempt == 0):
+            for i, p in enumerate(procs):
+                assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"
     results = []
     for path in outs:
         with open(path) as f:

@@ -178,3 +178,51 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+def test_dp_sharded_codec_hlo_has_no_collectives():
+    """dp batch sharding must stay embarrassingly parallel: GSPMD may not
+    insert ANY cross-device collective into the codec's device halves
+    (encode: g_a + h_a + index build; decode: hyper-synthesis and y
+    reconstruction). This invariant is what makes aggregate archive
+    throughput = chips x per-chip-rps (docs/SCALING.md); an accidental
+    cross-sample coupling (e.g. a batch-axis norm) would show up here as
+    an all-reduce long before it showed up as a perf regression."""
+    import re
+
+    from cra5_tpu.models.vaeformer import VAEformerCodec
+
+    cfg = vaeformer_tiny()
+    model = VAEformer(cfg)
+    x = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(5), (8, cfg.in_chans, *cfg.img_size)),
+        np.float32,
+    )
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    codec = VAEformerCodec(model, variables)
+    codec.update()
+    out = codec._encode_symbols(codec.variables, x, codec._scale_table_dev)
+
+    mesh = make_mesh({"dp": 8})
+    sh = jax.sharding.NamedSharding(mesh, P("dp"))
+    pat = re.compile(
+        r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)\b"
+    )
+    with mesh:
+        lowerings = {
+            "encode_symbols": codec._encode_symbols.lower(
+                codec.variables, jax.device_put(x, sh), codec._scale_table_dev
+            ),
+            "scales_from_z": codec._scales_from_z.lower(
+                codec.variables,
+                jax.device_put(np.asarray(out["z_sym"]), sh),
+                codec._scale_table_dev,
+            ),
+            "reconstruct": codec._reconstruct.lower(
+                codec.variables,
+                jax.device_put(np.asarray(out["y_sym"]), sh),
+                jax.device_put(np.asarray(out["means"]), sh),
+            ),
+        }
+        for name, lowered in lowerings.items():
+            hits = pat.findall(lowered.compile().as_text())
+            assert not hits, f"{name}: GSPMD inserted collectives {set(hits)}"
