@@ -185,13 +185,18 @@ class Trainer:
         else:
             data_iter = it
 
+        # one blocking fetch up front, then a host-side counter: int() on
+        # state.step every iteration would sync the device each step (a
+        # ~27ms tunnel RTT here; a pipeline bubble anywhere) — the jitted
+        # step increments it by exactly 1, so the count is deterministic
+        step0 = int(jax.device_get(state.step))
         t0 = time.time()
         for i, batch in enumerate(data_iter):
             if num_steps is not None and i >= num_steps:
                 break
             batch = self.shard_batch(batch)
             state, metrics = self._step_fn(state, batch, rng)
-            step = int(state.step)
+            step = step0 + i + 1
             if step % self.cfg.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["steps_per_sec"] = self.cfg.log_every / max(time.time() - t0, 1e-9)
