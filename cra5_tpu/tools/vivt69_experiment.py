@@ -53,7 +53,38 @@ def spectral_fields(rng: np.random.Generator, n: int, c: int, h: int, w: int,
     return out
 
 
-def vivt69_config(h: int, w: int, pilot: bool = False):
+def correlated_fields(rng: np.random.Generator, n: int, c: int, h: int, w: int,
+                      rank: int = 12, eps: float = 0.07,
+                      alpha: float = 3.0) -> np.ndarray:
+    """(n, c, h, w) unit-variance fields with ERA5-like CROSS-CHANNEL
+    redundancy: each sample's c channels are fixed linear mixtures of
+    ``rank`` independent spectral driver fields plus an independent
+    spectrally-shaped residual of relative amplitude ``eps``.
+
+    Real ERA5's 69 variables are 4 surface + 5 variables x 13 pressure
+    levels; adjacent levels of one variable are near-duplicates, which is
+    the redundancy the published VIVT-69 band (bpsp ~0.14 at normalized
+    MSE ~0.011) exploits. Independent per-channel fields lack it entirely
+    (69x more information per pixel), so an RD point on them is not
+    comparable to the anchors. The mixing matrix is FIXED across samples
+    (stationary "physics"); the achievable-MSE floor from uncoded
+    residuals is eps^2/(1+eps^2) (~0.005 at the default), safely below
+    the anchor band but not trivially zero.
+    """
+    mix = rng.normal(size=(c, rank)).astype(np.float32)
+    mix /= np.linalg.norm(mix, axis=1, keepdims=True) + 1e-12
+    out = np.empty((n, c, h, w), np.float32)
+    for i in range(n):
+        drivers = spectral_fields(rng, 1, rank, h, w, alpha=alpha)[0]
+        resid = spectral_fields(rng, 1, c, h, w, alpha=alpha)[0]
+        x = np.tensordot(mix, drivers, axes=(1, 0)) + eps * resid
+        out[i] = x / (x.std(axis=(1, 2), keepdims=True) + 1e-12)
+    return out
+
+
+def vivt69_config(h: int, w: int, pilot: bool = False,
+                  width: int | None = None, depth: int | None = None,
+                  embed: int | None = None, heads: int | None = None):
     """69-channel VAEformer at a reduced geometry obeying the ERA5
     patch relation H = (Hp-1)*10 + 11 (vit_nlc.py:628-633)."""
     from ..models.vaeformer import VAEformerConfig
@@ -65,7 +96,10 @@ def vivt69_config(h: int, w: int, pilot: bool = False):
         lat, width, depth, heads = 32, 64, 4, 4
         hyw, hyd, hyh = 48, 2, 4
     else:
-        lat, width, depth, heads = 128, 384, 10, 8
+        lat = embed or 128
+        width = width or 384
+        depth = depth or 10
+        heads = heads or max(4, width // 48)
         hyw, hyd, hyh = 160, 4, 8
     # rectangular window cycle scaled to the reduced token grid (the
     # 268v pattern (24,24)/(12,48)/(48,12) scaled by the grid ratio)
@@ -109,7 +143,9 @@ def evaluate(codec, model, variables, val, lmbda):
     return bits / (n * c * h * w), mse / n
 
 
-def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log):
+def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
+               n_train=64, n_val=4, rank=12, eps=0.07,
+               lr=2e-4, width=None, depth=None, embed=None):
     import jax
     import jax.numpy as jnp
 
@@ -117,33 +153,40 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log):
     from ..models.vaeformer import VAEformerCodec
     from ..train import Trainer, TrainerConfig
 
-    cfg = vivt69_config(h, w, pilot)
+    cfg = vivt69_config(h, w, pilot, width=width, depth=depth, embed=embed)
     model = VAEformer(cfg)
     rng = np.random.default_rng(seed)
-    n_train, n_val = 24, 4
-    log(f"lmbda={lmbda}: generating {n_train + n_val} spectral fields {h}x{w}x69")
-    fields = spectral_fields(rng, n_train + n_val, 69, h, w)
+    log(f"lmbda={lmbda}: generating {n_train + n_val} fields {h}x{w}x69 "
+        f"(rank={rank}, eps={eps})")
+    if rank > 0:
+        fields = correlated_fields(rng, n_train + n_val, 69, h, w,
+                                   rank=rank, eps=eps)
+    else:
+        fields = spectral_fields(rng, n_train + n_val, 69, h, w)
     train, val = fields[:n_train], fields[n_train:]
 
     tc = TrainerConfig(
-        learning_rate=2e-4, lmbda=lmbda, bpp_weight=1.0, use_ema=False,
+        learning_rate=lr, lmbda=lmbda, bpp_weight=1.0, use_ema=False,
         log_every=max(1, steps // 10), ckpt_every=10**9,
         scheduler=dict(type="WarmupCosineLR", warmup_steps=max(1, steps // 20)),
         total_steps=steps,
     )
     trainer = Trainer(model, tc, seed=seed)
 
-    # Stage the training set on DEVICE once (24 x 69 x H x W ~ 0.4 GB at
-    # the default geometry): yielding host batches would H2D ~72 MB/step
-    # through the ~55 MB/s tunnel (~1.3 s/step, 4x the device step time).
-    # Batch assembly is an on-device gather instead.
-    train_dev = jnp.asarray(train)
+    # Stage the training set on DEVICE once: yielding host batches would
+    # H2D ~72 MB/step through the ~55 MB/s tunnel (~1.3 s/step, 4x the
+    # device step time). Batch assembly is an on-device gather instead.
+    # Above 96 fields stage in bf16 (halves HBM; the ~2^-8 relative
+    # rounding is far below the distortion levels probed here).
+    stage_dtype = jnp.bfloat16 if n_train > 96 else jnp.float32
+    train_dev = jnp.asarray(train, dtype=stage_dtype)
 
     def batches():
         ep_rng = np.random.default_rng(seed + 1)
         while True:
             idx = ep_rng.integers(0, n_train, size=batch)
-            yield jnp.take(train_dev, jnp.asarray(idx, jnp.int32), axis=0)
+            b = jnp.take(train_dev, jnp.asarray(idx, jnp.int32), axis=0)
+            yield b.astype(jnp.float32)
 
     t0 = time.time()
     it = batches()
@@ -162,18 +205,36 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log):
     codec = VAEformerCodec(model, variables)
     codec.update(force=True)
     bpsp, mse = evaluate(codec, model, variables, val, lmbda)
-    log(f"  lmbda={lmbda}: coded bpsp={bpsp:.4f} norm-MSE={mse:.5f}")
+    # diagnostic: coded MSE on TRAIN fields separates the underfit floor
+    # from the train->val generalization gap
+    _, mse_tr = evaluate(codec, model, variables, train[: len(val)], lmbda)
+    log(f"  lmbda={lmbda}: coded bpsp={bpsp:.4f} norm-MSE={mse:.5f} "
+        f"(train-MSE {mse_tr:.5f})")
     return {"lmbda": lmbda, "bpsp": round(bpsp, 5), "MSE": round(mse, 6),
+            "train_MSE": round(mse_tr, 6),
             "train_metrics": {k: round(float(v), 5) for k, v in last.items()}}
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-o", "--out", default="RD_VIVT69.json")
-    parser.add_argument("--steps", type=int, default=4000)
-    parser.add_argument("--lmbdas", type=float, nargs="+", default=[2.0, 6.0])
+    parser.add_argument("--steps", type=int, default=8000)
+    parser.add_argument("--lmbdas", type=float, nargs="+", default=[128.0, 512.0])
     parser.add_argument("--geometry", type=int, nargs=2, default=[181, 360])
     parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--ntrain", type=int, default=64)
+    parser.add_argument("--nval", type=int, default=4)
+    parser.add_argument("--rank", type=int, default=12,
+                        help="cross-channel driver rank (0 = independent channels)")
+    parser.add_argument("--eps", type=float, default=0.07,
+                        help="relative residual amplitude on top of the drivers")
+    parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--width", type=int, default=None,
+                        help="ViT tower width override (default 384)")
+    parser.add_argument("--depth", type=int, default=None,
+                        help="ViT tower depth override (default 10)")
+    parser.add_argument("--embed", type=int, default=None,
+                        help="y latent channels override (default 128)")
     parser.add_argument("--pilot", action="store_true",
                         help="small dims for a CPU smoke run")
     parser.add_argument("--seed", type=int, default=0)
@@ -195,18 +256,26 @@ def main(argv=None):
 
     h, w = args.geometry
     points = [
-        run_lambda(l, args.steps, h, w, args.batch, args.pilot, args.seed, log)
+        run_lambda(l, args.steps, h, w, args.batch, args.pilot, args.seed, log,
+                   n_train=args.ntrain, n_val=args.nval,
+                   rank=args.rank, eps=args.eps, lr=args.lr,
+                   width=args.width, depth=args.depth, embed=args.embed)
         for l in args.lmbdas
     ]
     points.sort(key=lambda p: p["bpsp"])
     result = {
-        "name": "cra5_tpu VAEformer-69 (synthetic spectral fields)",
+        "name": "cra5_tpu VAEformer-69 (synthetic ERA5-like fields)",
         "description": (
-            "trained + real-coded on alpha=3 spectral Gaussian fields at "
-            f"{h}x{w} (real ERA5 unreachable offline — PARITY.md); axes "
+            "trained + real-coded on alpha=3 spectral Gaussian fields with "
+            f"rank-{args.rank} cross-channel drivers + eps={args.eps} "
+            f"residuals at {h}x{w} (real ERA5 unreachable offline — "
+            "PARITY.md; the low-rank mixing mirrors ERA5's 5-vars-x-13-"
+            "levels redundancy that the published band exploits); axes "
             "match the published VIVT-69 anchors (normalized MSE, bpsp)"
         ),
         "geometry": [69, h, w],
+        "rank": args.rank,
+        "eps": args.eps,
         "steps": args.steps,
         "results": {
             "bpsp": [p["bpsp"] for p in points],
