@@ -55,7 +55,8 @@ def spectral_fields(rng: np.random.Generator, n: int, c: int, h: int, w: int,
 
 def correlated_fields(rng: np.random.Generator, n: int, c: int, h: int, w: int,
                       rank: int = 12, eps: float = 0.07,
-                      alpha: float = 3.0) -> np.ndarray:
+                      alpha: float = 3.0, mix: np.ndarray | None = None
+                      ) -> np.ndarray:
     """(n, c, h, w) unit-variance fields with ERA5-like CROSS-CHANNEL
     redundancy: each sample's c channels are fixed linear mixtures of
     ``rank`` independent spectral driver fields plus an independent
@@ -71,8 +72,9 @@ def correlated_fields(rng: np.random.Generator, n: int, c: int, h: int, w: int,
     residuals is eps^2/(1+eps^2) (~0.005 at the default), safely below
     the anchor band but not trivially zero.
     """
-    mix = rng.normal(size=(c, rank)).astype(np.float32)
-    mix /= np.linalg.norm(mix, axis=1, keepdims=True) + 1e-12
+    if mix is None:
+        mix = rng.normal(size=(c, rank)).astype(np.float32)
+        mix /= np.linalg.norm(mix, axis=1, keepdims=True) + 1e-12
     out = np.empty((n, c, h, w), np.float32)
     for i in range(n):
         drivers = spectral_fields(rng, 1, rank, h, w, alpha=alpha)[0]
@@ -80,6 +82,44 @@ def correlated_fields(rng: np.random.Generator, n: int, c: int, h: int, w: int,
         x = np.tensordot(mix, drivers, axes=(1, 0)) + eps * resid
         out[i] = x / (x.std(axis=(1, 2), keepdims=True) + 1e-12)
     return out
+
+
+def make_device_sampler(mix: np.ndarray, h: int, w: int, eps: float,
+                        alpha: float, batch: int, k0: float = 3.0):
+    """Jitted on-device batch generator matching correlated_fields'
+    statistics: fresh spectral driver/residual fields every step (the
+    reference trains on ~350k real ERA5 samples — effectively infinite
+    data; a small staged set overfits, see the --ntrain probes). All
+    sampling + irfft2 + mixing runs on the accelerator: zero H2D."""
+    import jax
+    import jax.numpy as jnp
+
+    ky = np.fft.fftfreq(h)[:, None] * h
+    kx = np.fft.rfftfreq(w)[None, :] * w
+    kk = np.sqrt(ky * ky + kx * kx)
+    amp = ((kk + k0) ** (-alpha / 2.0)).astype(np.float32)
+    amp[0, 0] = 0.0
+    amp_j = jnp.asarray(amp)
+    mix_j = jnp.asarray(mix)  # (c, rank)
+    c, rank = mix.shape
+
+    def spectral(key, n):
+        kr, ki = jax.random.split(key)
+        shape = (batch, n) + amp.shape
+        phase = (jax.random.normal(kr, shape) +
+                 1j * jax.random.normal(ki, shape))
+        f = jnp.fft.irfft2(amp_j * phase, s=(h, w))
+        return f / (f.std(axis=(-2, -1), keepdims=True) + 1e-12)
+
+    @jax.jit
+    def sample(key):
+        kd, kr = jax.random.split(key)
+        drivers = spectral(kd, rank)                      # (b, rank, h, w)
+        resid = spectral(kr, c)                           # (b, c, h, w)
+        x = jnp.einsum("cr,brhw->bchw", mix_j, drivers) + eps * resid
+        return x / (x.std(axis=(-2, -1), keepdims=True) + 1e-12)
+
+    return sample
 
 
 def vivt69_config(h: int, w: int, pilot: bool = False,
@@ -156,14 +196,27 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
     cfg = vivt69_config(h, w, pilot, width=width, depth=depth, embed=embed)
     model = VAEformer(cfg)
     rng = np.random.default_rng(seed)
-    log(f"lmbda={lmbda}: generating {n_train + n_val} fields {h}x{w}x69 "
-        f"(rank={rank}, eps={eps})")
-    if rank > 0:
-        fields = correlated_fields(rng, n_train + n_val, 69, h, w,
-                                   rank=rank, eps=eps)
+    infinite = n_train == 0 and rank > 0
+    if infinite:
+        # fresh on-device fields every step; host only makes the held-out
+        # set (+ a few extra for the train-side diagnostic) from the SAME
+        # fixed mixing matrix
+        mix = rng.normal(size=(69, rank)).astype(np.float32)
+        mix /= np.linalg.norm(mix, axis=1, keepdims=True) + 1e-12
+        log(f"lmbda={lmbda}: on-device sampler (rank={rank}, eps={eps}); "
+            f"generating {n_val + 4} held-out fields {h}x{w}x69")
+        fields = correlated_fields(rng, n_val + 4, 69, h, w,
+                                   rank=rank, eps=eps, mix=mix)
+        train, val = fields[n_val:], fields[:n_val]
     else:
-        fields = spectral_fields(rng, n_train + n_val, 69, h, w)
-    train, val = fields[:n_train], fields[n_train:]
+        log(f"lmbda={lmbda}: generating {n_train + n_val} fields {h}x{w}x69 "
+            f"(rank={rank}, eps={eps})")
+        if rank > 0:
+            fields = correlated_fields(rng, n_train + n_val, 69, h, w,
+                                       rank=rank, eps=eps)
+        else:
+            fields = spectral_fields(rng, n_train + n_val, 69, h, w)
+        train, val = fields[:n_train], fields[n_train:]
 
     tc = TrainerConfig(
         learning_rate=lr, lmbda=lmbda, bpp_weight=1.0, use_ema=False,
@@ -173,20 +226,29 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
     )
     trainer = Trainer(model, tc, seed=seed)
 
-    # Stage the training set on DEVICE once: yielding host batches would
-    # H2D ~72 MB/step through the ~55 MB/s tunnel (~1.3 s/step, 4x the
-    # device step time). Batch assembly is an on-device gather instead.
-    # Above 96 fields stage in bf16 (halves HBM; the ~2^-8 relative
-    # rounding is far below the distortion levels probed here).
-    stage_dtype = jnp.bfloat16 if n_train > 96 else jnp.float32
-    train_dev = jnp.asarray(train, dtype=stage_dtype)
+    if infinite:
+        sampler = make_device_sampler(mix, h, w, eps, 3.0, batch)
 
-    def batches():
-        ep_rng = np.random.default_rng(seed + 1)
-        while True:
-            idx = ep_rng.integers(0, n_train, size=batch)
-            b = jnp.take(train_dev, jnp.asarray(idx, jnp.int32), axis=0)
-            yield b.astype(jnp.float32)
+        def batches():
+            key = jax.random.PRNGKey(seed + 1)
+            while True:
+                key, sub = jax.random.split(key)
+                yield sampler(sub)
+    else:
+        # Stage the training set on DEVICE once: yielding host batches
+        # would H2D ~72 MB/step through the ~55 MB/s tunnel (~1.3 s/step,
+        # 4x the device step time). Batch assembly is an on-device gather.
+        # Above 96 fields stage in bf16 (halves HBM; the ~2^-8 relative
+        # rounding is far below the distortion levels probed here).
+        stage_dtype = jnp.bfloat16 if n_train > 96 else jnp.float32
+        train_dev = jnp.asarray(train, dtype=stage_dtype)
+
+        def batches():
+            ep_rng = np.random.default_rng(seed + 1)
+            while True:
+                idx = ep_rng.integers(0, n_train, size=batch)
+                b = jnp.take(train_dev, jnp.asarray(idx, jnp.int32), axis=0)
+                yield b.astype(jnp.float32)
 
     t0 = time.time()
     it = batches()
@@ -222,7 +284,9 @@ def main(argv=None):
     parser.add_argument("--lmbdas", type=float, nargs="+", default=[128.0, 512.0])
     parser.add_argument("--geometry", type=int, nargs=2, default=[181, 360])
     parser.add_argument("--batch", type=int, default=4)
-    parser.add_argument("--ntrain", type=int, default=64)
+    parser.add_argument("--ntrain", type=int, default=64,
+                        help="staged training fields; 0 = infinite fresh "
+                        "on-device sampling (requires --rank > 0)")
     parser.add_argument("--nval", type=int, default=4)
     parser.add_argument("--rank", type=int, default=12,
                         help="cross-channel driver rank (0 = independent channels)")
