@@ -115,7 +115,8 @@ def bd_rate_pct(ref_pts, test_pts) -> float:
 # ---------------------------------------------------------------------------
 
 
-def run_reference(lmbda: float, steps: int, train: np.ndarray, test: np.ndarray):
+def run_reference(lmbda: float, steps: int, train: np.ndarray, test: np.ndarray,
+                  seed: int = 0):
     import torch
 
     from ref_torch import build_tiny_ref_vaeformer, load_reference
@@ -123,7 +124,7 @@ def run_reference(lmbda: float, steps: int, train: np.ndarray, test: np.ndarray)
     load_reference()
     from cra5.models.compressai.losses.rate_distortion import RateDistortionLoss
 
-    model = build_tiny_ref_vaeformer(seed=0)
+    model = build_tiny_ref_vaeformer(seed=seed)
     criterion = RateDistortionLoss(lmbda=lmbda, bpp_weight=1.0, metric="mse")
     # net/aux split exactly as the reference optimizer builder
     # (optimizers/net_aux.py:39-74): aux trains only *.quantiles
@@ -181,7 +182,8 @@ def run_reference(lmbda: float, steps: int, train: np.ndarray, test: np.ndarray)
 # ---------------------------------------------------------------------------
 
 
-def run_ours(lmbda: float, steps: int, train: np.ndarray, test: np.ndarray):
+def run_ours(lmbda: float, steps: int, train: np.ndarray, test: np.ndarray,
+             seed: int = 0):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -205,6 +207,7 @@ def run_ours(lmbda: float, steps: int, train: np.ndarray, test: np.ndarray):
             learning_rate=LR, aux_learning_rate=AUX_LR, lmbda=lmbda,
             bpp_weight=1.0, use_ema=False, log_every=10**9, ckpt_every=10**9,
         ),
+        seed=seed,
     )
     n = train.shape[0]
     state = trainer.init_state(jnp.asarray(train[:BATCH]))
@@ -238,22 +241,38 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--lambdas", type=float, nargs="+", default=list(LAMBDAS))
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0],
+                    help="independent init seeds per side; metrics are "
+                         "reported as seed means (+/- std) and BD-rate is "
+                         "computed on the seed-mean curves")
     args = ap.parse_args(argv)
 
     train = synth_fields(0, 64)
     test = synth_fields(1, 8)
 
+    keys = ("est_bpsp", "coded_bpsp", "mse", "wrmse")
     rows = []
     for lam in args.lambdas:
-        t0 = time.time()
-        ref = run_reference(lam, args.steps, train, test)
-        t_ref = time.time() - t0
-        t0 = time.time()
-        ours = run_ours(lam, args.steps, train, test)
-        t_ours = time.time() - t0
-        rows.append({"lmbda": lam, "reference": ref, "cra5_tpu": ours,
-                     "train_s": {"reference": t_ref, "cra5_tpu": t_ours}})
-        print(json.dumps(rows[-1]))
+        per_seed = []
+        for seed in args.seeds:
+            t0 = time.time()
+            ref = run_reference(lam, args.steps, train, test, seed=seed)
+            t_ref = time.time() - t0
+            t0 = time.time()
+            ours = run_ours(lam, args.steps, train, test, seed=seed)
+            t_ours = time.time() - t0
+            per_seed.append({"seed": seed, "reference": ref, "cra5_tpu": ours,
+                             "train_s": {"reference": t_ref,
+                                         "cra5_tpu": t_ours}})
+            print(json.dumps({"lmbda": lam, **per_seed[-1]}))
+        row = {"lmbda": lam, "seeds": per_seed}
+        for side in ("reference", "cra5_tpu"):
+            row[side] = {k: float(np.mean([s[side][k] for s in per_seed]))
+                         for k in keys}
+            row[side + "_std"] = {
+                k: float(np.std([s[side][k] for s in per_seed]))
+                for k in keys}
+        rows.append(row)
 
     bd_coded = bd_rate_pct(
         [(r["reference"]["coded_bpsp"], r["reference"]["mse"]) for r in rows],
@@ -263,10 +282,22 @@ def main(argv=None):
         [(r["reference"]["est_bpsp"], r["reference"]["mse"]) for r in rows],
         [(r["cra5_tpu"]["est_bpsp"], r["cra5_tpu"]["mse"]) for r in rows],
     )
+    # per-seed BD-rate spread (seed i vs seed i): how much of the headline
+    # is init-seed noise rather than a framework difference
+    bd_per_seed = []
+    for i, seed in enumerate(args.seeds):
+        bd_per_seed.append(bd_rate_pct(
+            [(r["seeds"][i]["reference"]["coded_bpsp"],
+              r["seeds"][i]["reference"]["mse"]) for r in rows],
+            [(r["seeds"][i]["cra5_tpu"]["coded_bpsp"],
+              r["seeds"][i]["cra5_tpu"]["mse"]) for r in rows],
+        ))
     results = {
         "geometry": {"C": C, "H": H, "W": W, "steps": args.steps,
-                     "batch": BATCH, "lr": LR, "aux_lr": AUX_LR},
-        "bd_rate_pct": {"coded": bd_coded, "est": bd_est},
+                     "batch": BATCH, "lr": LR, "aux_lr": AUX_LR,
+                     "seeds": args.seeds},
+        "bd_rate_pct": {"coded": bd_coded, "est": bd_est,
+                        "coded_per_seed": bd_per_seed},
         "rows": rows,
     }
     # reference plot schema, one curve per framework
@@ -291,25 +322,41 @@ def main(argv=None):
         "Generated by `tests/goldens/gen_rd_parity.py` (see its docstring for",
         "the protocol). Identical synthetic ERA5-like data, geometry, loss,",
         "optimizers, and batch schedule; independent native initializations.",
-        f"Steps: {args.steps}, batch {BATCH}, lr {LR}/{AUX_LR}, {C}x{H}x{W}.",
+        f"Steps: {args.steps}, batch {BATCH}, lr {LR}/{AUX_LR}, {C}x{H}x{W}, "
+        f"seeds {args.seeds} (cells are seed means, std in parens).",
         "",
         "| lambda | framework | coded bpsp | est. bpsp | MSE | WRMSE | total loss |",
         "|---|---|---|---|---|---|---|",
     ]
+    multi = len(args.seeds) > 1
     for r in rows:
         for side in ("reference", "cra5_tpu"):
-            d = r[side]
+            d, sd = r[side], r[side + "_std"]
             total = d["est_bpsp"] * C + r["lmbda"] * d["mse"]
+
+            def cell(k, prec):
+                v = f"{d[k]:.{prec}f}"
+                return f"{v} ({sd[k]:.{prec}f})" if multi else v
+
             lines.append(
-                f"| {r['lmbda']:g} | {side} | {d['coded_bpsp']:.4f} | "
-                f"{d['est_bpsp']:.4f} | {d['mse']:.5f} | {d['wrmse']:.5f} | "
-                f"{total:.4f} |"
+                f"| {r['lmbda']:g} | {side} | {cell('coded_bpsp', 4)} | "
+                f"{cell('est_bpsp', 4)} | {cell('mse', 5)} | "
+                f"{cell('wrmse', 5)} | {total:.4f} |"
             )
     lines += [
         "",
         f"**BD-rate (cra5_tpu vs reference): {bd_coded:+.2f}% coded, "
-        f"{bd_est:+.2f}% estimated** over the overlapping quality range",
-        "(negative = cra5_tpu needs fewer bits at equal distortion).",
+        f"{bd_est:+.2f}% estimated** on the seed-mean curves, over the",
+        "overlapping quality range (negative = cra5_tpu needs fewer bits at",
+        f"equal distortion). Per-seed coded BD-rate: "
+        f"{', '.join(f'{b:+.1f}%' for b in bd_per_seed)}.",
+        "",
+        "BD-rate is only meaningful where the curves slope: once lambda*MSE",
+        "saturates the tiny model's capacity the RD curve turns vertical",
+        "(rate rises, MSE pinned at the model's distortion floor) and the",
+        "PCHIP quality-overlap integral amplifies seed-level MSE jitter into",
+        "tens of percent of apparent rate difference; the per-seed spread",
+        "above calibrates that noise floor.",
         "",
         "Single-lambda rate gaps do not distinguish a worse model from a",
         "different operating point on the same curve: at large lambda the",
