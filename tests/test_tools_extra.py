@@ -211,3 +211,35 @@ def test_bench_watchdog_detects_wedge(tmp_path):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert "wedged" in out["error"]
     assert r.stderr.count("attach wedge") == 2
+
+
+def test_vivt69_device_sampler_matches_host_statistics():
+    """The jitted on-device spectral sampler (vivt69 --ntrain 0) must
+    reproduce correlated_fields' statistics: unit channel variance and a
+    cross-channel correlation matrix ~ mix @ mix.T (rank-r drivers
+    dominate; the eps residual only shrinks it by ~1/(1+eps^2))."""
+    from cra5_tpu.tools.vivt69_experiment import (
+        correlated_fields, make_device_sampler)
+
+    c, rank, h, w, eps = 6, 3, 32, 48, 0.2
+    rng = np.random.default_rng(3)
+    mix = rng.normal(size=(c, rank)).astype(np.float32)
+    mix /= np.linalg.norm(mix, axis=1, keepdims=True) + 1e-12
+
+    sampler = make_device_sampler(mix, h, w, eps, 3.0, batch=8)
+    xs = np.concatenate(
+        [np.asarray(sampler(jax.random.PRNGKey(k))) for k in range(8)]
+    )  # (64, c, h, w)
+    host = correlated_fields(rng, 64, c, h, w, rank=rank, eps=eps, mix=mix)
+
+    # unit variance per channel (both paths standardize per field)
+    np.testing.assert_allclose(xs.std(axis=(-2, -1)), 1.0, atol=1e-3)
+
+    def corr(a):
+        flat = a.transpose(1, 0, 2, 3).reshape(a.shape[1], -1)
+        return np.corrcoef(flat)
+
+    expect = mix @ mix.T  # driver-induced correlation, unit diagonal
+    np.testing.assert_allclose(corr(xs), corr(host), atol=0.08)
+    np.testing.assert_allclose(
+        corr(xs), expect / (1.0 + eps**2), atol=0.08)
