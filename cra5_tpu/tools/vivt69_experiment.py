@@ -184,7 +184,7 @@ def evaluate(codec, model, variables, val, lmbda):
 
 
 def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
-               n_train=64, n_val=4, rank=12, eps=0.07,
+               n_train=64, n_val=4, rank=12, eps=0.07, alpha=3.75,
                lr=2e-4, width=None, depth=None, embed=None):
     import jax
     import jax.numpy as jnp
@@ -206,16 +206,17 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
         log(f"lmbda={lmbda}: on-device sampler (rank={rank}, eps={eps}); "
             f"generating {n_val + 4} held-out fields {h}x{w}x69")
         fields = correlated_fields(rng, n_val + 4, 69, h, w,
-                                   rank=rank, eps=eps, mix=mix)
+                                   rank=rank, eps=eps, alpha=alpha, mix=mix)
         train, val = fields[n_val:], fields[:n_val]
     else:
         log(f"lmbda={lmbda}: generating {n_train + n_val} fields {h}x{w}x69 "
             f"(rank={rank}, eps={eps})")
         if rank > 0:
             fields = correlated_fields(rng, n_train + n_val, 69, h, w,
-                                       rank=rank, eps=eps)
+                                       rank=rank, eps=eps, alpha=alpha)
         else:
-            fields = spectral_fields(rng, n_train + n_val, 69, h, w)
+            fields = spectral_fields(rng, n_train + n_val, 69, h, w,
+                                     alpha=alpha)
         train, val = fields[:n_train], fields[n_train:]
 
     tc = TrainerConfig(
@@ -227,7 +228,7 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
     trainer = Trainer(model, tc, seed=seed)
 
     if infinite:
-        sampler = make_device_sampler(mix, h, w, eps, 3.0, batch)
+        sampler = make_device_sampler(mix, h, w, eps, alpha, batch)
 
         def batches():
             key = jax.random.PRNGKey(seed + 1)
@@ -292,6 +293,15 @@ def main(argv=None):
                         help="cross-channel driver rank (0 = independent channels)")
     parser.add_argument("--eps", type=float, default=0.07,
                         help="relative residual amplitude on top of the drivers")
+    parser.add_argument("--alpha", type=float, default=3.75,
+                        help="per-channel spectral slope. Default 3.75 is "
+                        "CALIBRATED: JPEG2000 on these fields matches the "
+                        "published J2K-on-real-ERA5 anchor (plot_data/"
+                        "JPEG-2000.json) within ~±30%% over bpsp 0.2-0.4 "
+                        "(measured: alpha=3 is 2.2-8.9x harder, alpha=4 is "
+                        "0.5-1.2x, alpha=5 ~10x easier), so classical-codec "
+                        "difficulty is anchored to the real data the "
+                        "published VIVT-69 band was measured on")
     parser.add_argument("--lr", type=float, default=2e-4)
     parser.add_argument("--width", type=int, default=None,
                         help="ViT tower width override (default 384)")
@@ -322,7 +332,7 @@ def main(argv=None):
     points = [
         run_lambda(l, args.steps, h, w, args.batch, args.pilot, args.seed, log,
                    n_train=args.ntrain, n_val=args.nval,
-                   rank=args.rank, eps=args.eps, lr=args.lr,
+                   rank=args.rank, eps=args.eps, alpha=args.alpha, lr=args.lr,
                    width=args.width, depth=args.depth, embed=args.embed)
         for l in args.lmbdas
     ]
@@ -330,16 +340,19 @@ def main(argv=None):
     result = {
         "name": "cra5_tpu VAEformer-69 (synthetic ERA5-like fields)",
         "description": (
-            "trained + real-coded on alpha=3 spectral Gaussian fields with "
-            f"rank-{args.rank} cross-channel drivers + eps={args.eps} "
-            f"residuals at {h}x{w} (real ERA5 unreachable offline — "
-            "PARITY.md; the low-rank mixing mirrors ERA5's 5-vars-x-13-"
-            "levels redundancy that the published band exploits); axes "
+            f"trained + real-coded on alpha={args.alpha} spectral Gaussian "
+            f"fields with rank-{args.rank} cross-channel drivers + "
+            f"eps={args.eps} residuals at {h}x{w} (real ERA5 unreachable "
+            "offline — PARITY.md; the low-rank mixing mirrors ERA5's "
+            "5-vars-x-13-levels redundancy that the published band "
+            "exploits, and alpha is calibrated so JPEG2000 difficulty on "
+            "these fields matches the published J2K-on-ERA5 anchor); axes "
             "match the published VIVT-69 anchors (normalized MSE, bpsp)"
         ),
         "geometry": [69, h, w],
         "rank": args.rank,
         "eps": args.eps,
+        "alpha": args.alpha,
         "steps": args.steps,
         "results": {
             "bpsp": [p["bpsp"] for p in points],
