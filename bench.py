@@ -342,7 +342,13 @@ def main():
                 "bin_bytes": int(pb),
                 "bpp_721x1440": round(8 * pb / (721 * 1440), 4),
                 "median_roundtrip_s": round(float(np.median(seq_p)), 4),
-                "wrmse_summary": _wrmse_summary(np.asarray(xp), np.asarray(dec_p["x_hat"])),
+                # report in UNIT-scale (normalized) units: the input was
+                # amplitude-scaled to hit the target bin size, and WRMSE
+                # scales with amplitude — divide it back out so this is
+                # comparable to headline_wrmse and the published anchors
+                "wrmse_summary": _wrmse_summary(
+                    np.asarray(xp) / amp, np.asarray(dec_p["x_hat"]) / amp
+                ),
                 "target_bytes": target,
                 "probes": probes,
             }

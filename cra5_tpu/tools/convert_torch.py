@@ -217,8 +217,13 @@ def verify_268_manifest(sd, manifest_path: str = None) -> dict:
         )
     with open(manifest_path) as f:
         manifest = json.load(f)
-    want = {k: tuple(v) for k, v in manifest["keys"].items()}
-    have = {k: tuple(v.shape) for k, v in sd.items()}
+    # The manifest stores POST-rename key names; published checkpoints may
+    # carry DataParallel 'module.' prefixes or ParameterList '_biases.0'
+    # forms (zoo/pretrained.py:36-58) — normalize through the same key
+    # surgery the converter applies so the gate accepts every form the
+    # conversion itself handles.
+    want = {rename_key(k): tuple(v) for k, v in manifest["keys"].items()}
+    have = {rename_key(k): tuple(v.shape) for k, v in sd.items()}
     return {
         "missing": sorted(set(want) - set(have)),
         "extra": sorted(set(have) - set(want)),
@@ -228,8 +233,7 @@ def verify_268_manifest(sd, manifest_path: str = None) -> dict:
     }
 
 
-def convert_checkpoint(path: str, depth: int = 24):
-    """Load a torch .pth and convert (entry used by train.checkpoints)."""
+def _load_state_dict(path: str):
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
@@ -237,6 +241,13 @@ def convert_checkpoint(path: str, depth: int = 24):
         if isinstance(raw, dict) and key in raw and isinstance(raw[key], dict):
             raw = raw[key]
             break
+    return raw
+
+
+def convert_checkpoint(path: str, depth: int = 24, state_dict=None):
+    """Load a torch .pth and convert (entry used by train.checkpoints).
+    ``state_dict`` skips the load when the caller already has it."""
+    raw = _load_state_dict(path) if state_dict is None else state_dict
     variables, tables = convert_vaeformer_state_dict(raw, depth)
     variables["_cdf_tables"] = tables  # consumed by VAEformerCodec.set_tables
     return variables
@@ -253,14 +264,8 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    raw = _load_state_dict(args.checkpoint)
     if not args.no_verify and args.depth == 24:
-        import torch
-
-        raw = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
-        for key in ("state_dict", "model", "net"):
-            if isinstance(raw, dict) and key in raw and isinstance(raw[key], dict):
-                raw = raw[key]
-                break
         report = verify_268_manifest(raw)
         if any(report.values()):
             print(
@@ -274,7 +279,8 @@ def main(argv=None):
             "full-geometry fingerprint", file=sys.stderr,
         )
 
-    variables = convert_checkpoint(args.checkpoint, depth=args.depth)
+    variables = convert_checkpoint(args.checkpoint, depth=args.depth,
+                                   state_dict=raw)
     tables = variables.pop("_cdf_tables", {})
 
     from flax import serialization

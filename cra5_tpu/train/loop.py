@@ -125,6 +125,12 @@ class Trainer:
 
     def init_state(self, example_batch: jax.Array) -> TrainState:
         multiproc = jax.process_count() > 1
+        if multiproc and self.mesh is None:
+            raise ValueError(
+                "multi-process training requires a mesh: pass one to "
+                "Trainer(..., mesh=...) (e.g. data_parallel_mesh()) so "
+                "global params/batches have a sharding to live on"
+            )
         if multiproc:
             # Multi-process: init on a HOST example (identical values on
             # every process — deterministic PRNG), place globally, and
@@ -190,6 +196,7 @@ class Trainer:
         # ~27ms tunnel RTT here; a pipeline bubble anywhere) — the jitted
         # step increments it by exactly 1, so the count is deterministic
         step0 = int(jax.device_get(state.step))
+        last_log_step = step0  # first interval after a resume can be < log_every
         t0 = time.time()
         for i, batch in enumerate(data_iter):
             if num_steps is not None and i >= num_steps:
@@ -199,7 +206,8 @@ class Trainer:
             step = step0 + i + 1
             if step % self.cfg.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                m["steps_per_sec"] = self.cfg.log_every / max(time.time() - t0, 1e-9)
+                m["steps_per_sec"] = (step - last_log_step) / max(time.time() - t0, 1e-9)
+                last_log_step = step
                 t0 = time.time()
                 if log_fn is not None:
                     log_fn(step, m)

@@ -12,6 +12,7 @@ reference optimizers/net_aux.py:39-74).
 
 from __future__ import annotations
 
+import inspect
 from typing import Any, Dict, Optional, Sequence, Union
 
 import optax
@@ -22,7 +23,7 @@ Schedule = Union[float, optax.Schedule]
 
 
 @SCHEDULERS.register("ConstantLR")
-def constant_lr(base_lr: float, **_) -> optax.Schedule:
+def constant_lr(base_lr: float) -> optax.Schedule:
     return optax.constant_schedule(base_lr)
 
 
@@ -32,7 +33,6 @@ def warmup_cosine_lr(
     total_steps: int,
     warmup_steps: int = 1000,
     min_lr_ratio: float = 0.0,
-    **_,
 ) -> optax.Schedule:
     """Linear warmup 0 -> base_lr over ``warmup_steps``, then cosine decay
     to ``base_lr * min_lr_ratio`` at ``total_steps``."""
@@ -51,22 +51,28 @@ def multistep_lr(
     milestones: Sequence[int] = (),
     gamma: float = 0.1,
     warmup_steps: int = 0,
-    **_,
 ) -> optax.Schedule:
-    """Step decay: LR multiplied by ``gamma`` at each milestone step, with
-    an optional linear warmup prefix."""
-    sched = optax.piecewise_constant_schedule(
-        base_lr, {int(m): gamma for m in milestones}
-    )
-    if warmup_steps:
-        warm = optax.linear_schedule(0.0, base_lr, int(warmup_steps))
-        return optax.join_schedules([warm, sched], [int(warmup_steps)])
-    return sched
+    """Step decay: LR multiplied by ``gamma`` at each milestone step
+    (ABSOLUTE step numbers, torch/mmengine MultiStepLR semantics — not
+    offset by the warmup), with an optional linear warmup prefix."""
+    import jax.numpy as jnp
+
+    ms = jnp.asarray(sorted(int(m) for m in milestones), jnp.int32)
+    w = int(warmup_steps)
+
+    def schedule(count):
+        c = jnp.asarray(count, jnp.int32)
+        lr = base_lr * gamma ** jnp.sum(ms <= c) if ms.size else jnp.float32(base_lr)
+        if w:
+            lr = lr * jnp.clip(c / w, 0.0, 1.0)
+        return lr
+
+    return schedule
 
 
 @SCHEDULERS.register("LinearWarmupLR")
 def linear_warmup_lr(
-    base_lr: float, warmup_steps: int = 1000, **_
+    base_lr: float, warmup_steps: int = 1000
 ) -> optax.Schedule:
     warm = optax.linear_schedule(0.0, base_lr, int(warmup_steps))
     return optax.join_schedules(
@@ -87,7 +93,14 @@ def build_schedule(
     cfg = dict(cfg)
     name = cfg.pop("type")
     builder = SCHEDULERS.get(name)
+    accepted = set(inspect.signature(builder).parameters)
+    unknown = set(cfg) - accepted
+    if unknown:
+        raise ValueError(
+            f"scheduler {name!r} got unknown option(s) {sorted(unknown)}; "
+            f"accepted: {sorted(accepted - {'base_lr'})}"
+        )
     kwargs = {"base_lr": base_lr, **cfg}
-    if total_steps is not None:
+    if total_steps is not None and "total_steps" in accepted:
         kwargs.setdefault("total_steps", total_steps)
     return builder(**kwargs)

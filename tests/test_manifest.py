@@ -51,3 +51,29 @@ def test_verify_268_manifest_reports():
     assert report["missing"] == ["quant_conv.weight"]
     assert report["extra"] == ["not_a_key"]
     assert report["shape_mismatch"] == ["post_quant_conv.weight"]
+
+
+def test_verify_268_manifest_accepts_unrenamed_published_forms():
+    """Published checkpoints may carry DataParallel 'module.' prefixes and
+    ParameterList '_biases.0' names (reference zoo/pretrained.py:36-58);
+    the gate must accept every form the converter itself handles."""
+    import re
+
+    from cra5_tpu.tools.convert_torch import verify_268_manifest
+
+    m = _load()
+
+    def unrename(k):
+        k = re.sub(
+            r"entropy_bottleneck\._(bias|matrix|factor)(\d+)$",
+            lambda g: "entropy_bottleneck._%s.%s"
+            % ({"bias": "biases", "matrix": "matrices", "factor": "factors"}[g.group(1)], g.group(2)),
+            k,
+        )
+        return "module." + k
+
+    fake = {unrename(k): SimpleNamespace(shape=tuple(v)) for k, v in m["keys"].items()}
+    assert any(k.startswith("module.") for k in fake)
+    assert any("._biases." in k for k in fake)
+    report = verify_268_manifest(fake)
+    assert report == {"missing": [], "extra": [], "shape_mismatch": []}

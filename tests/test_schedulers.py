@@ -42,6 +42,23 @@ def test_multistep_with_warmup():
     assert np.isclose(float(s(4)), 1e-2)
     assert np.isclose(float(s(25)), 1e-3, rtol=1e-4)
     assert np.isclose(float(s(45)), 1e-4, rtol=1e-4)
+    # milestones are ABSOLUTE steps (torch MultiStepLR semantics), not
+    # shifted late by the warmup prefix: decay fires exactly at 20/40
+    assert np.isclose(float(s(19)), 1e-2, rtol=1e-4)
+    assert np.isclose(float(s(20)), 1e-3, rtol=1e-4)
+    assert np.isclose(float(s(39)), 1e-3, rtol=1e-4)
+    assert np.isclose(float(s(40)), 1e-4, rtol=1e-4)
+
+
+def test_build_schedule_rejects_unknown_options():
+    from cra5_tpu.train import build_schedule
+
+    with pytest.raises(ValueError, match="unknown option"):
+        build_schedule(
+            dict(type="WarmupCosineLR", warmup=500),  # typo: warmup_steps
+            base_lr=1e-3,
+            total_steps=100,
+        )
 
 
 def test_build_schedule_none_is_constant():
