@@ -59,6 +59,33 @@ def _t(label, t0):
     return time.time()
 
 
+def _pipelined_rate(thunk, concurrency, per_window, n_windows=3):
+    """Pipelined throughput of ``thunk`` (one unit of work, no args) over
+    a thread pool — THE estimator for every pipelined number in this
+    bench, so the round-3 lessons apply everywhere at once: warm
+    max(concurrency, 4) calls first (windows trend up for the first ~4
+    roundtrips: thread-local dispatch queues, transfer bucket hints),
+    then ``n_windows`` timed windows of ``per_window`` calls each, and
+    report the MEDIAN window (the max would let one lucky window set the
+    number; the axon tunnel drifts >20% between multi-second windows).
+    Returns (median items/s, per-window rates)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(concurrency)
+    try:
+        list(pool.map(lambda _: thunk(), range(max(concurrency, 4))))
+        windows = []
+        for _ in range(n_windows):
+            t0 = time.time()
+            list(pool.map(lambda _: thunk(), range(per_window)))
+            windows.append(per_window / (time.time() - t0))
+    finally:
+        pool.shutdown()
+    import numpy as np
+
+    return float(np.median(windows)), windows
+
+
 def _run_hw_tests():
     """BENCH_HW_TESTS=1: run the hardware-only correctness suite on the
     chip before anything else touches it (round-2 VERDICT weak #4 —
@@ -220,39 +247,27 @@ def main():
     # threads, so one sample's host<->device stream transfers overlap the
     # other's model/scan compute (the production serving shape: a stream
     # of timesteps, not one). Sequential latency stays in the detail dict.
-    from concurrent.futures import ThreadPoolExecutor
-
     # 6-way pipelining measured best in round 3 (2.02/2.29/2.36/2.48 rps
     # at 2/3/4/6 threads): the sorted decode kernel shortened the decode
     # phase enough that deeper pipelines keep the device queue fed
     # (round 2 had measured 3 threads WORSE at the old decode time)
     concurrency = int(os.environ.get("BENCH_CONCURRENCY", "6"))
+    # at least two rounds per thread so a window measures steady-state
+    per_window = int(os.environ.get("BENCH_WINDOW", str(max(6, 2 * concurrency))))
     pipe_throughput = None
+    windows = []
     if concurrency > 1:
-        def roundtrip(xi):
-            out = codec.compress(xi)
+        def roundtrip():
+            out = codec.compress(x)
             dec = codec.decompress(out["strings"], out["z_shape"])
             _sync(dec["x_hat"])
 
-        pool = ThreadPoolExecutor(concurrency)
-        # warm the concurrent path properly: measured windows trend up for
-        # the first ~4 roundtrips (thread-local dispatch queues, transfer
-        # bucket hints), which would poison the first window
-        list(pool.map(roundtrip, [x] * max(concurrency, 4)))
-        windows = []
-        # at least two rounds per thread so a window measures steady-state
-        per_window = int(os.environ.get("BENCH_WINDOW", str(max(6, 2 * concurrency))))
-        for _ in range(3):
-            t0 = time.time()
-            list(pool.map(roundtrip, [x] * per_window))
-            windows.append(batch * per_window / (time.time() - t0))
-        pool.shutdown()
         # median window as the headline: a sustained-rate estimator that a
-        # re-run reproduces (the max would let one lucky window set the
-        # number). The axon tunnel drifts >20% between multi-second
-        # windows, so best/all windows stay in the detail dict to show
-        # the machine's ceiling vs the tunnel's jitter.
-        pipe_throughput = float(np.median(windows))
+        # re-run reproduces; best/all windows stay in the detail dict to
+        # show the machine's ceiling vs the tunnel's jitter
+        rate, win = _pipelined_rate(roundtrip, concurrency, per_window)
+        windows = [batch * w for w in win]
+        pipe_throughput = batch * rate
         throughput = max(throughput, pipe_throughput)
     baseline = 1.0 / (0.0983 + 0.0343)  # reference GPU roundtrips/sec
     result = {
@@ -321,20 +336,13 @@ def main():
                 seq_p.append(time.time() - t0)
             prod_rate = batch / float(np.median(seq_p))
             if concurrency > 1:
-                def rt_p(_):
+                def rt_p():
                     o = codec.compress(xp)
                     d = codec.decompress(o["strings"], o["z_shape"])
                     _sync(d["x_hat"])
 
-                pool_p = ThreadPoolExecutor(concurrency)
-                list(pool_p.map(rt_p, range(concurrency)))
-                wins = []
-                for _ in range(2):
-                    t0 = time.time()
-                    list(pool_p.map(rt_p, range(per_window)))
-                    wins.append(batch * per_window / (time.time() - t0))
-                pool_p.shutdown()
-                prod_rate = max(prod_rate, float(np.median(wins)))
+                rate_p, _ = _pipelined_rate(rt_p, concurrency, per_window)
+                prod_rate = max(prod_rate, batch * rate_p)
             pb = sum(len(s[0]) for s in (out_p["strings"][0], out_p["strings"][1]))
             production = {
                 "production_rate_rps": round(prod_rate, 4),
@@ -370,17 +378,12 @@ def main():
                 dec_only.append(time.time() - t0)
             dec_rate = batch / float(np.median(dec_only))
             if concurrency > 1:
-                def dec_one(_):
+                def dec_one():
                     d = codec.decompress(out["strings"], out["z_shape"])
                     _sync(d["x_hat"])
 
-                pool = ThreadPoolExecutor(concurrency)
-                list(pool.map(dec_one, range(concurrency)))
-                t0 = time.time()
-                n_dec = 8
-                list(pool.map(dec_one, range(n_dec)))
-                pool.shutdown()
-                dec_rate = max(dec_rate, batch * n_dec / (time.time() - t0))
+                rate_d, _ = _pipelined_rate(dec_one, concurrency, per_window)
+                dec_rate = max(dec_rate, batch * rate_d)
             extras["config4_decoder_only"] = {
                 "decodes_per_sec": round(dec_rate, 4),
                 "median_s": round(float(np.median(dec_only)), 4),
@@ -433,13 +436,10 @@ def main():
                 rts.append(time.time() - t0)
             rate159 = 1.0 / float(np.median(rts))
             if concurrency > 1:  # pipelined, like the headline
-                pool159 = ThreadPoolExecutor(concurrency)
-                list(pool159.map(rt159, range(concurrency)))
-                t0 = time.time()
-                n159 = 2 * concurrency
-                list(pool159.map(rt159, range(n159)))
-                pool159.shutdown()
-                rate159 = max(rate159, n159 / (time.time() - t0))
+                rate159_p, _ = _pipelined_rate(
+                    lambda: rt159(0), concurrency, per_window
+                )
+                rate159 = max(rate159, rate159_p)
             extras["config1_159v"] = {
                 "roundtrips_per_sec": round(rate159, 4),
                 "median_s": round(float(np.median(rts)), 4),
@@ -468,13 +468,10 @@ def main():
                 rate3 = bb / float(np.median(enc_b))
                 if concurrency > 1:  # overlap batches like the headline
                     c3 = max(2, concurrency // 2)
-                    pool3 = ThreadPoolExecutor(c3)
-                    list(pool3.map(lambda _: codec.compress(xb), range(c3)))
-                    t0 = time.time()
-                    nb = 2 * c3
-                    list(pool3.map(lambda _: codec.compress(xb), range(nb)))
-                    pool3.shutdown()
-                    rate3 = max(rate3, bb * nb / (time.time() - t0))
+                    rate3_p, _ = _pipelined_rate(
+                        lambda: codec.compress(xb), c3, 2 * c3
+                    )
+                    rate3 = max(rate3, bb * rate3_p)
                 bbytes = sum(len(s) for grp in ob["strings"] for s in grp)
                 extras["config3_batched_encode"] = {
                     "encodes_per_sec": round(rate3, 4),

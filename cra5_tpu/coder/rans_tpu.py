@@ -132,15 +132,19 @@ class ProbeFailure(RuntimeError):
 _AOT_CACHE: Dict = {}
 
 # every degradation that actually happened, for bench/serve JSON — a
-# silent 3.3->1 rps kernel regression must be loud (VERDICT r3 #7/weak-4)
-FALLBACK_EVENTS: list = []
+# silent 3.3->1 rps kernel regression must be loud (VERDICT r3 #7/weak-4).
+# Aggregated per (tag, path, fallback_to) with a hit count: a degraded
+# long-lived server re-raises the cached ProbeFailure on EVERY call, and
+# one dict per call would grow without bound.
+FALLBACK_EVENTS: Dict = {}
 
 
 def fallback_events() -> list:
     """Fallback events recorded since the last clear: [{tag, path,
-    fallback_to, error}, ...]. Production surfaces (bench.py,
+    fallback_to, error, count}, ...] — one entry per distinct degradation,
+    ``count`` = how many calls hit it. Production surfaces (bench.py,
     tools/serve.py) embed this in their JSON output."""
-    return list(FALLBACK_EVENTS)
+    return [dict(v) for v in FALLBACK_EVENTS.values()]
 
 
 def clear_fallback_events() -> None:
@@ -200,14 +204,18 @@ def _kernel_fallback(tag: str, attempts):
         except ProbeFailure as e:
             if not _KERNEL_FALLBACK or i + 1 == len(attempts):
                 raise
-            FALLBACK_EVENTS.append(
-                {
+            ev_key = (tag, desc, attempts[i + 1][0])
+            ev = FALLBACK_EVENTS.get(ev_key)
+            if ev is None:
+                FALLBACK_EVENTS[ev_key] = {
                     "tag": tag,
                     "path": desc,
                     "fallback_to": attempts[i + 1][0],
                     "error": str(e)[:300],
+                    "count": 1,
                 }
-            )
+            else:
+                ev["count"] += 1
             key = (tag, desc)
             if key not in _FALLBACK_WARNED:
                 _FALLBACK_WARNED.add(key)

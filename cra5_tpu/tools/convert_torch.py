@@ -223,7 +223,14 @@ def verify_268_manifest(sd, manifest_path: str = None) -> dict:
     # surgery the converter applies so the gate accepts every form the
     # conversion itself handles.
     want = {rename_key(k): tuple(v) for k, v in manifest["keys"].items()}
-    have = {rename_key(k): tuple(v.shape) for k, v in sd.items()}
+    # Skip non-tensor metadata entries (epoch counters, config dicts —
+    # checkpoints that nest weights under an unrecognized key reach here
+    # flat): they must surface in the missing/extra report, not crash it.
+    have = {
+        rename_key(k): tuple(v.shape)
+        for k, v in sd.items()
+        if hasattr(v, "shape")
+    }
     return {
         "missing": sorted(set(want) - set(have)),
         "extra": sorted(set(have) - set(want)),

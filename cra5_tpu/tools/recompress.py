@@ -61,6 +61,18 @@ def write_bins(out_dir: str, names: List[str], result: Dict) -> List[str]:
     return paths
 
 
+def _finish_barrier():
+    """Hold every process until ALL have finished coding their shards.
+
+    Process 0 hosts the jax.distributed coordination service; if it
+    returns (empty work slice, or simply finishing first) while peers are
+    still coding, the service dies and the peers abort mid-archive on
+    heartbeat failures. Generous timeout: shards can be hours of work."""
+    from ..parallel import kv_barrier
+
+    kv_barrier("recompress-done", timeout_s=7 * 24 * 3600.0)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("input_dir", type=str)
@@ -86,6 +98,9 @@ def main(argv=None):
         return 1
     files = files[local_work_slice(len(files))]
     if not files:  # fewer inputs than processes
+        # Still rendezvous below: process 0 hosts the coordination
+        # service, so exiting early would kill every still-working peer.
+        _finish_barrier()
         return 0
 
     n_dev = jax.local_device_count()
@@ -130,6 +145,7 @@ def main(argv=None):
             }
         )
     )
+    _finish_barrier()
     return 0
 
 

@@ -93,9 +93,15 @@ def main(argv=None):
     if "scheduler" in trainer_cfg and trainer_cfg["scheduler"] is not None:
         trainer_cfg["scheduler"] = dict(trainer_cfg["scheduler"])
     tc = TrainerConfig(**trainer_cfg)
-    # the schedule horizon defaults to the run's configured step budget
+    # The LR-schedule horizon is the run's FULL configured step budget
+    # (cfg["steps"]), never this invocation's --steps: a resumed run
+    # passes the remaining count via --steps but must keep decaying on
+    # the original horizon (the restored opt_state schedule count picks
+    # up where it left off). --steps sets the horizon only when the
+    # config carries no budget of its own.
     if tc.total_steps is None:
-        tc.total_steps = args.steps or cfg.get("steps")
+        cfg_steps = cfg.get("steps")
+        tc.total_steps = cfg_steps if cfg_steps is not None else args.steps
     if args.ckpt_dir:
         tc.ckpt_dir = args.ckpt_dir
 

@@ -316,6 +316,10 @@ def main(argv=None):
                         help="write a PNG vs the shipped VIVT-69 anchors")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
+    if args.ntrain == 0 and args.rank <= 0:
+        parser.error("--ntrain 0 (infinite on-device sampling) requires "
+                     "--rank > 0: the device sampler draws through the "
+                     "fixed cross-channel mixing matrix")
 
     import jax
 

@@ -101,6 +101,16 @@ def build_schedule(
             f"accepted: {sorted(accepted - {'base_lr'})}"
         )
     kwargs = {"base_lr": base_lr, **cfg}
-    if total_steps is not None and "total_steps" in accepted:
-        kwargs.setdefault("total_steps", total_steps)
+    if "total_steps" in accepted and "total_steps" not in kwargs:
+        if total_steps is None:
+            params = inspect.signature(builder).parameters
+            if params["total_steps"].default is inspect.Parameter.empty:
+                raise ValueError(
+                    f"scheduler {name!r} needs a horizon: set "
+                    f"TrainerConfig.total_steps (train CLI: the config's "
+                    f"'steps' or --steps) or pass total_steps in the "
+                    f"scheduler dict"
+                )
+        else:
+            kwargs["total_steps"] = total_steps
     return builder(**kwargs)

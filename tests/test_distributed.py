@@ -66,6 +66,54 @@ def test_put_tree_and_fetch_tree_roundtrip():
 
 
 @pytest.mark.slow
+def test_recompress_empty_slice_process_holds_barrier(tmp_path):
+    """Multi-host recompress with fewer inputs than processes: process 0
+    (the coordination-service host) draws an EMPTY work slice and must
+    still rendezvous at the end-of-run barrier — if it exited early the
+    service would die and kill process 1 mid-archive."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    rng = np.random.default_rng(0)
+    np.save(indir / "t0.npy", rng.normal(size=(8, 41, 40)).astype(np.float32))
+
+    script = (
+        "import os, sys\n"
+        "os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS', '') + "
+        "' --xla_force_host_platform_device_count=2'\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_test_cache')\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)\n"
+        "jax.config.update('jax_persistent_cache_enable_xla_caches', 'none')\n"
+        "from cra5_tpu.tools import recompress\n"
+        "sys.exit(recompress.main(sys.argv[1:]))\n"
+    )
+    port = _free_port()
+    procs = []
+    for i in range(2):
+        env = _clean_env()
+        env.update(
+            CRA5_TPU_COORDINATOR=f"127.0.0.1:{port}",
+            CRA5_TPU_NUM_PROCESSES="2",
+            CRA5_TPU_PROCESS_ID=str(i),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", script,
+                 str(indir), "-o", str(outdir), "--config", "tiny"],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"
+    assert (outdir / "t0.bin").exists()
+
+
+@pytest.mark.slow
 def test_two_process_cluster_matches_single_process(tmp_path):
     """Spawn a 2-process CPU cluster (2 devices each -> 4 global) and
     assert against the in-process single-mesh oracle:
