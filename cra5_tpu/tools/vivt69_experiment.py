@@ -185,7 +185,7 @@ def evaluate(codec, model, variables, val, lmbda):
 
 def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
                n_train=64, n_val=4, rank=12, eps=0.07, alpha=3.75,
-               lr=2e-4, width=None, depth=None, embed=None):
+               lr=2e-4, width=None, depth=None, embed=None, ema=False):
     import jax
     import jax.numpy as jnp
 
@@ -220,7 +220,7 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
         train, val = fields[:n_train], fields[n_train:]
 
     tc = TrainerConfig(
-        learning_rate=lr, lmbda=lmbda, bpp_weight=1.0, use_ema=False,
+        learning_rate=lr, lmbda=lmbda, bpp_weight=1.0, use_ema=ema,
         log_every=max(1, steps // 10), ckpt_every=10**9,
         scheduler=dict(type="WarmupCosineLR", warmup_steps=max(1, steps // 20)),
         total_steps=steps,
@@ -264,7 +264,11 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
     state = trainer.fit(batches(), state=state, num_steps=steps, log_fn=log_fn)
     log(f"  trained {steps} steps in {time.time() - t0:.0f}s")
 
-    variables = {"params": jax.device_get(state.params)}
+    eval_params = state.params
+    if ema and state.ema is not None:
+        # evaluate the EMA shadow (the reference's LitEma store/copy step)
+        eval_params = state.ema.params
+    variables = {"params": jax.device_get(eval_params)}
     codec = VAEformerCodec(model, variables)
     codec.update(force=True)
     bpsp, mse = evaluate(codec, model, variables, val, lmbda)
@@ -303,6 +307,10 @@ def main(argv=None):
                         "difficulty is anchored to the real data the "
                         "published VIVT-69 band was measured on")
     parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--ema", action="store_true",
+                        help="train with EMA (decay 0.9999, warmup like "
+                        "the reference LitEma) and evaluate the shadow "
+                        "params")
     parser.add_argument("--width", type=int, default=None,
                         help="ViT tower width override (default 384)")
     parser.add_argument("--depth", type=int, default=None,
@@ -337,7 +345,8 @@ def main(argv=None):
         run_lambda(l, args.steps, h, w, args.batch, args.pilot, args.seed, log,
                    n_train=args.ntrain, n_val=args.nval,
                    rank=args.rank, eps=args.eps, alpha=args.alpha, lr=args.lr,
-                   width=args.width, depth=args.depth, embed=args.embed)
+                   width=args.width, depth=args.depth, embed=args.embed,
+                   ema=args.ema)
         for l in args.lmbdas
     ]
     points.sort(key=lambda p: p["bpsp"])
