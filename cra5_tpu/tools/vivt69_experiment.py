@@ -185,13 +185,15 @@ def evaluate(codec, model, variables, val, lmbda):
 
 def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
                n_train=64, n_val=4, rank=12, eps=0.07, alpha=3.75,
-               lr=2e-4, width=None, depth=None, embed=None, ema=False):
+               lr=2e-4, width=None, depth=None, embed=None, ema=False,
+               ckpt_dir=None, ckpt_every=0):
     import jax
     import jax.numpy as jnp
 
     from ..models import VAEformer
     from ..models.vaeformer import VAEformerCodec
     from ..train import Trainer, TrainerConfig
+    from ..train.checkpoints import resolve_last_checkpoint
 
     cfg = vivt69_config(h, w, pilot, width=width, depth=depth, embed=embed)
     model = VAEformer(cfg)
@@ -219,19 +221,37 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
                                      alpha=alpha)
         train, val = fields[:n_train], fields[n_train:]
 
+    # --steps is the TOTAL optimization horizon (it also fixes the cosine
+    # schedule); with --ckpt-dir a run resumes from the lambda's last full
+    # train-state checkpoint and only trains the remaining steps, so the
+    # multi-hour capacity runs survive interruption and can be extended
+    # by re-invoking with a larger --steps.
+    lam_dir = os.path.join(ckpt_dir, f"lmbda{int(lmbda)}") if ckpt_dir else None
     tc = TrainerConfig(
         learning_rate=lr, lmbda=lmbda, bpp_weight=1.0, use_ema=ema,
-        log_every=max(1, steps // 10), ckpt_every=10**9,
+        log_every=max(1, steps // 10),
+        ckpt_every=ckpt_every if (lam_dir and ckpt_every) else 10**9,
+        ckpt_dir=lam_dir or "checkpoints",
+        ckpt_keep=3,
         scheduler=dict(type="WarmupCosineLR", warmup_steps=max(1, steps // 20)),
         total_steps=steps,
     )
     trainer = Trainer(model, tc, seed=seed)
+    resume_path = None
+    if lam_dir:
+        os.makedirs(lam_dir, exist_ok=True)
+        try:
+            resume_path = resolve_last_checkpoint(lam_dir, "last_state")
+        except ValueError:
+            resume_path = None
 
     if infinite:
         sampler = make_device_sampler(mix, h, w, eps, alpha, batch)
 
-        def batches():
-            key = jax.random.PRNGKey(seed + 1)
+        def batches(offset=0):
+            # fold the resume step in so a resumed run continues the
+            # fresh-fields stream instead of replaying it from the start
+            key = jax.random.fold_in(jax.random.PRNGKey(seed + 1), offset)
             while True:
                 key, sub = jax.random.split(key)
                 yield sampler(sub)
@@ -244,8 +264,8 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
         stage_dtype = jnp.bfloat16 if n_train > 96 else jnp.float32
         train_dev = jnp.asarray(train, dtype=stage_dtype)
 
-        def batches():
-            ep_rng = np.random.default_rng(seed + 1)
+        def batches(offset=0):
+            ep_rng = np.random.default_rng(seed + 1 + offset)
             while True:
                 idx = ep_rng.integers(0, n_train, size=batch)
                 b = jnp.take(train_dev, jnp.asarray(idx, jnp.int32), axis=0)
@@ -253,7 +273,15 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
 
     t0 = time.time()
     it = batches()
-    state = trainer.init_state(next(it))
+    first = next(it)
+    if resume_path is not None:
+        state = trainer.restore(first, resume_path)
+        done = int(jax.device_get(state.step))
+        log(f"  resumed {resume_path} (step {done}/{steps})")
+    else:
+        state = trainer.init_state(first)
+        done = 0
+    remaining = max(0, steps - done)
     last = {}
 
     def log_fn(step, m):
@@ -261,8 +289,12 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
         last = m
         log(f"  step {step}: " + " ".join(f"{k}={v:.4g}" for k, v in m.items()))
 
-    state = trainer.fit(batches(), state=state, num_steps=steps, log_fn=log_fn)
-    log(f"  trained {steps} steps in {time.time() - t0:.0f}s")
+    if remaining:
+        state = trainer.fit(batches(offset=done), state=state,
+                            num_steps=remaining, log_fn=log_fn)
+        log(f"  trained {remaining} steps in {time.time() - t0:.0f}s")
+    if lam_dir:
+        log(f"  saved {trainer.save(state)}")
 
     eval_params = state.params
     if ema and state.ema is not None:
@@ -320,6 +352,15 @@ def main(argv=None):
     parser.add_argument("--pilot", action="store_true",
                         help="small dims for a CPU smoke run")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ckpt-dir", type=str, default=None,
+                        help="checkpoint/resume root: each lambda trains "
+                        "under <dir>/lmbda<L> and resumes from its "
+                        "last_state pointer; --steps stays the TOTAL "
+                        "horizon (re-invoke with a larger --steps to "
+                        "extend a finished run)")
+    parser.add_argument("--ckpt-every", type=int, default=2000,
+                        help="full train-state checkpoint interval "
+                        "(steps), only active with --ckpt-dir")
     parser.add_argument("--plot", type=str, default=None,
                         help="write a PNG vs the shipped VIVT-69 anchors")
     parser.add_argument("--cpu", action="store_true")
@@ -346,7 +387,8 @@ def main(argv=None):
                    n_train=args.ntrain, n_val=args.nval,
                    rank=args.rank, eps=args.eps, alpha=args.alpha, lr=args.lr,
                    width=args.width, depth=args.depth, embed=args.embed,
-                   ema=args.ema)
+                   ema=args.ema, ckpt_dir=args.ckpt_dir,
+                   ckpt_every=args.ckpt_every)
         for l in args.lmbdas
     ]
     points.sort(key=lambda p: p["bpsp"])

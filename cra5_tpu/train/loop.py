@@ -58,6 +58,10 @@ class TrainerConfig:
     log_every: int = 50
     ckpt_every: int = 1000
     ckpt_dir: str = "checkpoints"
+    # keep only the newest N step_/state_ checkpoints (0 = keep all);
+    # long runs with full train states (params + adam moments + EMA)
+    # otherwise accumulate multi-GB files every ckpt_every steps
+    ckpt_keep: int = 0
     # SCHEDULERS config dict for the net LR, e.g.
     # dict(type="WarmupCosineLR", warmup_steps=1000, min_lr_ratio=0.1);
     # None = constant learning_rate
@@ -235,8 +239,26 @@ class Trainer:
             write_last_checkpoint(self.cfg.ckpt_dir, path)
             save_train_state(state_path, host_state)
             write_last_checkpoint(self.cfg.ckpt_dir, state_path, "last_state")
+            if self.cfg.ckpt_keep > 0:
+                self._prune_checkpoints()
         barrier("ckpt_save")
         return path
+
+    def _prune_checkpoints(self) -> None:
+        for prefix in ("step_", "state_"):
+            suffix = ".msgpack"
+            files = sorted(
+                (
+                    f
+                    for f in os.listdir(self.cfg.ckpt_dir)
+                    if f.startswith(prefix)
+                    and f.endswith(suffix)
+                    and f[len(prefix) : -len(suffix)].isdigit()
+                ),
+                key=lambda f: int(f[len(prefix) : -len(suffix)]),
+            )
+            for old in files[: -self.cfg.ckpt_keep]:
+                os.remove(os.path.join(self.cfg.ckpt_dir, old))
 
     def restore(self, example_batch: jax.Array, path: Optional[str] = None) -> TrainState:
         """Resume from a full train-state checkpoint. ``path`` defaults to

@@ -199,6 +199,31 @@ def test_full_state_resume_matches_uninterrupted(tmp_path):
         )
 
 
+def test_ckpt_keep_prunes_old_checkpoints(tmp_path):
+    """ckpt_keep=N retains only the newest N step_/state_ files (long
+    full-state runs otherwise accumulate multi-GB checkpoints) and the
+    last_state pointer still resolves to a surviving file."""
+    cfg = vaeformer_tiny()
+    model = VAEformer(cfg)
+    tcfg = TrainerConfig(
+        learning_rate=1e-3, log_every=10**9, ckpt_every=10**9,
+        ckpt_dir=str(tmp_path), use_ema=True, ckpt_keep=2,
+    )
+    batch = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.in_chans, *cfg.img_size)) * 0.5
+    rng = jax.random.PRNGKey(42)
+    trainer = Trainer(model, tcfg)
+    state = trainer.init_state(batch)
+    for _ in range(4):
+        state, _ = trainer._step_fn(state, batch, rng)
+        trainer.save(state)
+    steps = sorted(f for f in os.listdir(tmp_path) if f.startswith("step_"))
+    states = sorted(f for f in os.listdir(tmp_path) if f.startswith("state_"))
+    assert steps == ["step_3.msgpack", "step_4.msgpack"]
+    assert states == ["state_3.msgpack", "state_4.msgpack"]
+    restored = trainer.restore(batch)
+    assert int(restored.step) == 4
+
+
 def test_checkpoint_msgpack_roundtrip(tmp_path):
     tree = {"params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3)}}
     p = str(tmp_path / "ck.msgpack")
