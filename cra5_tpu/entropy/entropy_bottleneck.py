@@ -196,7 +196,14 @@ def eb_update(params: dict, filters: Tuple[int, ...] = (3, 3, 3, 3), precision: 
         return x
 
     def sigmoid(x):
-        return 1.0 / (1.0 + np.exp(-x))
+        # split by sign so exp() sees only non-positive args (large |x|
+        # logits overflow np.exp and raise RuntimeWarnings in f64)
+        out = np.empty_like(x)
+        pos = x >= 0
+        out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+        e = np.exp(x[~pos])
+        out[~pos] = e / (1.0 + e)
+        return out
 
     low = logits(samples - 0.5)
     up = logits(samples + 0.5)
