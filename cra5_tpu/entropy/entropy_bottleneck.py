@@ -195,15 +195,9 @@ def eb_update(params: dict, filters: Tuple[int, ...] = (3, 3, 3, 3), precision: 
                 x = x + np.tanh(f) * np.tanh(x)
         return x
 
-    def sigmoid(x):
-        # split by sign so exp() sees only non-positive args (large |x|
-        # logits overflow np.exp and raise RuntimeWarnings in f64)
-        out = np.empty_like(x)
-        pos = x >= 0
-        out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
-        e = np.exp(x[~pos])
-        out[~pos] = e / (1.0 + e)
-        return out
+    # overflow-free sigmoid (naive 1/(1+exp(-x)) raises RuntimeWarnings
+    # on the large logits the tail regions produce)
+    from scipy.special import expit as sigmoid
 
     low = logits(samples - 0.5)
     up = logits(samples + 0.5)

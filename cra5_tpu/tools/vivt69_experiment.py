@@ -226,7 +226,7 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
     # train-state checkpoint and only trains the remaining steps, so the
     # multi-hour capacity runs survive interruption and can be extended
     # by re-invoking with a larger --steps.
-    lam_dir = os.path.join(ckpt_dir, f"lmbda{int(lmbda)}") if ckpt_dir else None
+    lam_dir = os.path.join(ckpt_dir, f"lmbda{lmbda:g}") if ckpt_dir else None
     tc = TrainerConfig(
         learning_rate=lr, lmbda=lmbda, bpp_weight=1.0, use_ema=ema,
         log_every=max(1, steps // 10),
@@ -240,6 +240,29 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
     resume_path = None
     if lam_dir:
         os.makedirs(lam_dir, exist_ok=True)
+        # resume is keyed on lambda only, so everything else that defines
+        # the experiment must match the checkpoints in the directory —
+        # otherwise a re-invocation with, say, a different --alpha would
+        # silently resume (or skip!) another experiment's state and
+        # mislabel its RD point
+        fp = dict(lmbda=lmbda, h=h, w=w, batch=batch, seed=seed,
+                  n_train=n_train, n_val=n_val, rank=rank, eps=eps,
+                  alpha=alpha, lr=lr, width=width, depth=depth,
+                  embed=embed, ema=ema, pilot=pilot)
+        fp_path = os.path.join(lam_dir, "experiment.json")
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                on_disk = json.load(f)
+            if on_disk != fp:
+                diff = {k: (on_disk.get(k), fp[k]) for k in fp
+                        if on_disk.get(k) != fp[k]}
+                raise ValueError(
+                    f"{lam_dir} holds a different experiment "
+                    f"(checkpoint vs requested: {diff}); use a fresh "
+                    "--ckpt-dir or delete the stale one")
+        else:
+            with open(fp_path, "w") as f:
+                json.dump(fp, f, indent=1)
         try:
             resume_path = resolve_last_checkpoint(lam_dir, "last_state")
         except ValueError:
@@ -289,12 +312,24 @@ def run_lambda(lmbda, steps, h, w, batch, pilot, seed, log,
         last = m
         log(f"  step {step}: " + " ".join(f"{k}={v:.4g}" for k, v in m.items()))
 
+    metrics_path = os.path.join(lam_dir, "metrics.json") if lam_dir else None
     if remaining:
         state = trainer.fit(batches(offset=done), state=state,
                             num_steps=remaining, log_fn=log_fn)
         log(f"  trained {remaining} steps in {time.time() - t0:.0f}s")
-    if lam_dir:
-        log(f"  saved {trainer.save(state)}")
+        if metrics_path:
+            with open(metrics_path, "w") as f:
+                json.dump(last, f, indent=1)
+        # fit already checkpointed at the final step when it divides
+        # ckpt_every; re-saving would re-gather the full train state
+        # (params + adam moments + EMA) over the slow tunnel for nothing
+        if lam_dir and steps % tc.ckpt_every != 0:
+            log(f"  saved {trainer.save(state)}")
+    elif metrics_path and os.path.exists(metrics_path):
+        # finished run re-invoked (e.g. to regenerate the RD point):
+        # recover the training diagnostics saved at completion
+        with open(metrics_path) as f:
+            last = json.load(f)
 
     eval_params = state.params
     if ema and state.ema is not None:

@@ -245,6 +245,15 @@ class Trainer:
         return path
 
     def _prune_checkpoints(self) -> None:
+        # never delete what the pointer files reference: a reused dir with
+        # stale higher-step checkpoints would otherwise out-sort (and so
+        # delete) the just-written one, leaving dangling pointers
+        protected = set()
+        for pointer in ("last_checkpoint", "last_state"):
+            p = os.path.join(self.cfg.ckpt_dir, pointer)
+            if os.path.exists(p):
+                with open(p) as f:
+                    protected.add(os.path.basename(f.read().strip()))
         for prefix in ("step_", "state_"):
             suffix = ".msgpack"
             files = sorted(
@@ -258,7 +267,8 @@ class Trainer:
                 key=lambda f: int(f[len(prefix) : -len(suffix)]),
             )
             for old in files[: -self.cfg.ckpt_keep]:
-                os.remove(os.path.join(self.cfg.ckpt_dir, old))
+                if old not in protected:
+                    os.remove(os.path.join(self.cfg.ckpt_dir, old))
 
     def restore(self, example_batch: jax.Array, path: Optional[str] = None) -> TrainState:
         """Resume from a full train-state checkpoint. ``path`` defaults to

@@ -223,6 +223,16 @@ def test_ckpt_keep_prunes_old_checkpoints(tmp_path):
     restored = trainer.restore(batch)
     assert int(restored.step) == 4
 
+    # stale higher-step leftovers (reused dir) must not out-sort — and so
+    # delete — the checkpoints the pointers reference
+    for stale in ("step_900.msgpack", "state_900.msgpack",
+                  "step_901.msgpack", "state_901.msgpack"):
+        (tmp_path / stale).write_bytes(b"stale")
+    state, _ = trainer._step_fn(state, batch, rng)
+    trainer.save(state)
+    assert (tmp_path / "state_5.msgpack").exists()
+    assert int(trainer.restore(batch).step) == 5
+
 
 def test_checkpoint_msgpack_roundtrip(tmp_path):
     tree = {"params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3)}}
