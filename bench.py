@@ -55,8 +55,38 @@ def _sync(arr):
 
 
 def _t(label, t0):
-    print(f"[bench] {label}: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    print(
+        f"[bench] {label}: {time.time() - t0:.1f}s (t={time.strftime('%H:%M:%S')})",
+        file=sys.stderr, flush=True,
+    )
     return time.time()
+
+
+_BUDGET_T0 = time.time()
+
+
+def _budget_left():
+    """Seconds left in the total run budget (BENCH_TIME_BUDGET, default
+    45 min from process start). Round 4's driver bench artifact never
+    appeared: the default run grew long post-headline extras (production
+    point + configs 3/4, each with pipelined windows) on top of a
+    96-333s init, so a driver-side kill during the extras could truncate
+    the run — and, with stdout block-buffered when piped, lose even the
+    already-printed headline. Every extra stage now checks this budget
+    and records {"skipped": "time budget"} instead of running."""
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "2700"))
+    return budget - (time.time() - _BUDGET_T0)
+
+
+def _budget_check(extras, key, need_s):
+    """Gate a post-headline stage on remaining budget. Returns True if
+    the stage should be skipped (and records why)."""
+    left = _budget_left()
+    if left < need_s:
+        extras[key] = {"skipped": f"time budget ({left:.0f}s left < {need_s}s)"}
+        print(json.dumps({key: extras[key]}), file=sys.stderr, flush=True)
+        return True
+    return False
 
 
 def _pipelined_rate(thunk, concurrency, per_window, n_windows=3):
@@ -276,7 +306,10 @@ def main():
         "unit": "roundtrips/s",
         "vs_baseline": round(throughput / baseline, 4),
     }
-    print(json.dumps(result))
+    # flush=True is load-bearing: stdout is block-buffered when piped, and
+    # a driver-side kill during the post-headline extras would otherwise
+    # lose this line (suspected cause of the missing round-4 artifact)
+    print(json.dumps(result), flush=True)
 
     # quality attached to the headline operating point (VERDICT r3 #3):
     # bpp is in detail already; WRMSE of the decompressed reconstruction
@@ -307,7 +340,11 @@ def main():
     # lands in the production band and measure THAT rps, with quality.
     production = {}
     if os.environ.get("BENCH_PRODUCTION", "1") == "1":
-        try:
+        if _budget_left() < 300:
+            production = {"skipped": f"time budget ({_budget_left():.0f}s left)"}
+            print(json.dumps({"production_point": production}), file=sys.stderr, flush=True)
+        else:
+          try:
             target = float(os.environ.get("BENCH_PROD_BYTES", str(2.6e6)))
             amp, nb = 1.0, float(nbytes)
             probes = [(amp, nb)]
@@ -359,9 +396,15 @@ def main():
                 ),
                 "target_bytes": target,
                 "probes": probes,
+                # this WRMSE characterizes a RANDOM-INIT, entropy-
+                # calibrated model at amplitude-scaled inputs; it is NOT
+                # the BASELINE.md quality claim — only decoding a
+                # converted real checkpoint can verify bpp+WRMSE parity
+                # (blocked offline; see PARITY.md)
+                "caveat": "random-init model; not a trained-checkpoint quality claim",
             }
-            print(json.dumps({"production_point": production}), file=sys.stderr)
-        except Exception as e:
+            print(json.dumps({"production_point": production}), file=sys.stderr, flush=True)
+          except Exception as e:
             production = {"error": repr(e)}
 
     extras = {}
@@ -370,6 +413,8 @@ def main():
         # config 4: decoder-only serving (bin_to_latent + reconstruction);
         # pipelined like the headline — serving decodes a stream of bins
         try:
+            if _budget_left() < 180:
+                raise _SkipConfig(f"time budget ({_budget_left():.0f}s left)")
             dec_only = []
             for _ in range(iters):
                 t0 = time.time()
@@ -389,7 +434,9 @@ def main():
                 "median_s": round(float(np.median(dec_only)), 4),
                 "batch": batch,
             }
-            print(json.dumps({"config4": extras["config4_decoder_only"]}), file=sys.stderr)
+            print(json.dumps({"config4": extras["config4_decoder_only"]}), file=sys.stderr, flush=True)
+        except _SkipConfig as e:
+            extras["config4_decoder_only"] = {"skipped": str(e) or "gated"}
         except Exception as e:  # keep the headline metric alive
             extras["config4_decoder_only"] = {"error": repr(e)}
 
@@ -397,7 +444,9 @@ def main():
         # compiles a second full model)
         try:
             if not full:
-                raise _SkipConfig()
+                raise _SkipConfig("BENCH_FULL=0")
+            if _budget_left() < 600:
+                raise _SkipConfig(f"time budget ({_budget_left():.0f}s left)")
             from cra5_tpu.models import vaeformer_159
 
             cfg159 = vaeformer_159()
@@ -446,14 +495,16 @@ def main():
             }
             print(json.dumps({"config1": extras["config1_159v"]}), file=sys.stderr)
             del model159, v159, codec159, x159
-        except _SkipConfig:
-            extras["config1_159v"] = {"skipped": "BENCH_FULL=0"}
+        except _SkipConfig as e:
+            extras["config1_159v"] = {"skipped": str(e) or "gated"}
         except Exception as e:
             extras["config1_159v"] = {"error": repr(e)}
 
         # config 3: batched 24h-style encode throughput (bf16 inputs; falls
         # back 8 -> 4 -> 2 if the window-attention activations exhaust HBM)
         for bb in (int(os.environ.get("BENCH_BATCH_BIG", "8")), 4, 2):
+            if _budget_check(extras, "config3_batched_encode", 240):
+                break
             xb = ob = None
             try:
                 xb = jax.random.normal(
@@ -491,7 +542,9 @@ def main():
         # BENCH_FULL only — minutes of CPU compile)
         try:
             if not full:
-                raise _SkipConfig()
+                raise _SkipConfig("BENCH_FULL=0")
+            if _budget_left() < 600:
+                raise _SkipConfig(f"time budget ({_budget_left():.0f}s left)")
             import subprocess
             import tempfile
 
@@ -539,8 +592,8 @@ def main():
                         "tail": proc.stderr[-300:],
                     }
             print(json.dumps({"config5": extras.get("config5_mesh_recompress")}), file=sys.stderr)
-        except _SkipConfig:
-            extras["config5_mesh_recompress"] = {"skipped": "BENCH_FULL=0"}
+        except _SkipConfig as e:
+            extras["config5_mesh_recompress"] = {"skipped": str(e) or "gated"}
         except Exception as e:
             extras["config5_mesh_recompress"] = {"error": repr(e)}
 
@@ -551,6 +604,7 @@ def main():
                     **({"baseline_configs": extras} if extras else {}),
                     **({"production_point": production} if production else {}),
                     "headline_wrmse": headline_quality,
+                    "wrmse_caveat": "random-init model (entropy-calibrated); quality parity needs a converted real checkpoint (PARITY.md)",
                     "mean_roundtrip_s": round(mean_t, 4),
                     "pipelined_rps": round(pipe_throughput, 4) if pipe_throughput else None,
                     "pipelined_rps_estimator": "median_of_windows" if pipe_throughput else None,
