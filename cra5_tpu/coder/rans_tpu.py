@@ -594,6 +594,29 @@ _MERGED_FLAG = 1 << 29  # K bit 29: tiny cdf buckets merged (both sides
 # decode without the merge.
 
 
+def assemble_container(
+    n, K, nw, ne, sorted_mode, safe, states, stream, escs
+) -> bytes:
+    """Pure host-CPU tail of encode finalize: slice the (bucketed) word /
+    escape buffers to their true counts, varint-encode the escape side
+    channel, and pack the v2 container. Factored out of
+    ``LaneCoder.encode_finalize_many`` so ``tools/finalize_scaling.py``
+    can measure EXACTLY the production host work per stream when
+    projecting multi-chip serving (docs/SCALING.md host-finalize link)."""
+    stream = np.asarray(stream[:nw], np.uint16)
+    esc_val = np.asarray(escs[:ne], np.int32)
+    kf = K
+    if sorted_mode:
+        kf |= _SORTED_FLAG | _MERGED_FLAG | (_KERNEL_SAFE_FLAG if safe else 0)
+    header = struct.pack("<IIIII", MAGIC, n, kf, ne, nw)
+    return b"".join([
+        header,
+        np.asarray(states, np.uint32).astype("<u4").tobytes(),
+        stream.astype("<u2").tobytes(),
+        _zigzag_varint_encode(esc_val),
+    ])
+
+
 def _parse_v2_header(data: bytes):
     """Validate and parse a v2 container header. Raises ValueError on any
     malformed field instead of letting np.frombuffer fail mid-parse (or
@@ -1130,20 +1153,9 @@ class LaneCoder:
             if len(hint) >= LaneCoder._BUCKET_HINT_CAP and (n, K) not in hint:
                 hint.pop(next(iter(hint)))
             hint[(n, K)] = (_bucket(max(nw, 1)), _bucket(max(ne, 1)))
-            stream = np.asarray(stream[:nw], np.uint16)
-            esc_val = np.asarray(escs[:ne], np.int32)
-            kf = K
-            if h[9]:
-                kf |= _SORTED_FLAG | _MERGED_FLAG | (
-                    _KERNEL_SAFE_FLAG if int(safe) else 0
-                )
-            header = struct.pack("<IIIII", MAGIC, n, kf, ne, nw)
-            results[pos] = b"".join([
-                header,
-                np.asarray(states, np.uint32).astype("<u4").tobytes(),
-                stream.astype("<u2").tobytes(),
-                _zigzag_varint_encode(esc_val),
-            ])
+            results[pos] = assemble_container(
+                n, K, nw, ne, bool(h[9]), bool(int(safe)), states, stream, escs
+            )
         return results
 
     def encode_from_device(self, symbols, indexes) -> bytes:

@@ -243,3 +243,26 @@ def test_vivt69_device_sampler_matches_host_statistics():
     np.testing.assert_allclose(corr(xs), corr(host), atol=0.08)
     np.testing.assert_allclose(
         corr(xs), expect / (1.0 + eps**2), atol=0.08)
+
+
+@pytest.mark.slow
+def test_finalize_scaling_record_replay(tmp_path, capsys):
+    """finalize_scaling record -> replay: the replayed host assembly must
+    reproduce the recorded container bytes (the replay asserts byte
+    equality internally) and report a thread-scaling sweep."""
+    from cra5_tpu.tools import finalize_scaling
+
+    npz = str(tmp_path / "fin.npz")
+    assert finalize_scaling.main(
+        ["record", "-o", npz, "--model", "tiny", "--no-calibrate"]
+    ) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["recorded_streams"] == 2  # z + y
+    assert finalize_scaling.main(
+        ["replay", npz, "--workers", "1,2", "--seconds", "0.2",
+         "--parse", "--required-rps", "25"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep["encode_finalize"]) == {"1", "2"}
+    assert rep["decode_parse"]["1"] > 0
+    assert rep["encode_headroom_x"] > 0
