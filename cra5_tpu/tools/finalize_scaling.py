@@ -85,8 +85,24 @@ def _record(args) -> int:
         )
     codec = VAEformerCodec(model, variables, coder="v2")
     codec.update()
-    if args.amp != 1.0:
-        x = (x * args.amp).astype(jnp.float32)
+    amp = args.amp
+    if args.target_bytes:
+        # same secant-in-log-amp the bench production-point search uses
+        # (bench.py): stream bytes grow ~log with amplitude
+        for _ in range(6):
+            xp = (x * amp).astype(jnp.float32)
+            out = codec.compress(xp)
+            nb = float(sum(len(grp[0]) for grp in out["strings"]))
+            print(json.dumps({"amp_probe": round(amp, 3), "bin_bytes": int(nb)}),
+                  file=sys.stderr, flush=True)
+            if abs(nb - args.target_bytes) / args.target_bytes < 0.08:
+                break
+            new_amp = min(amp * min((args.target_bytes / nb) ** 0.8, 4.0), 16.0)
+            if new_amp == amp:
+                break
+            amp = new_amp
+    if amp != 1.0:
+        x = (x * amp).astype(jnp.float32)
 
     recorded = []
     real_assemble = rans_tpu.assemble_container
@@ -112,7 +128,11 @@ def _record(args) -> int:
     finally:
         rans_tpu.assemble_container = real_assemble
     total = sum(len(grp[0]) for grp in out["strings"])
-    payload = {"n_streams": np.int64(len(recorded)), "bin_bytes": np.int64(total)}
+    payload = {
+        "n_streams": np.int64(len(recorded)),
+        "bin_bytes": np.int64(total),
+        "amp": np.float64(amp),
+    }
     for i, r in enumerate(recorded):
         for k, v in r.items():
             payload[f"s{i}_{k}"] = v
@@ -123,6 +143,7 @@ def _record(args) -> int:
                 "recorded_streams": len(recorded),
                 "bin_bytes": total,
                 "stream_sizes": [int(r["container"].size) for r in recorded],
+                "amp": round(float(amp), 3),
                 "out": args.out,
             }
         )
@@ -248,6 +269,9 @@ def main(argv=None) -> int:
     pr.add_argument("--model", choices=["268", "tiny"], default="268")
     pr.add_argument("--amp", type=float, default=1.0,
                     help="input amplitude (scale until bin hits production size)")
+    pr.add_argument("--target-bytes", type=float, default=None,
+                    help="amp-search (from --amp) until the bin lands within "
+                         "8%% of this size, like the bench production point")
     pr.add_argument("--no-calibrate", dest="calibrate", action="store_false")
     pp = sub.add_parser("replay", help="thread-scaling sweep over a recording")
     pp.add_argument("npz")
