@@ -422,17 +422,25 @@ def main():
                 _sync(dec["x_hat"])
                 dec_only.append(time.time() - t0)
             dec_rate = batch / float(np.median(dec_only))
+            depth_rates = {}
             if concurrency > 1:
                 def dec_one():
                     d = codec.decompress(out["strings"], out["z_shape"])
                     _sync(d["x_hat"])
 
-                rate_d, _ = _pipelined_rate(dec_one, concurrency, per_window)
-                dec_rate = max(dec_rate, batch * rate_d)
+                # pure decode saturates the device queue at depth 2
+                # (tools/decode_profile.py round 5: 7.14 dec/s at depth 2
+                # vs 6.91 at depth 6 — fewer, larger device calls than the
+                # roundtrip); try shallow AND the roundtrip's depth
+                for depth in sorted({2, concurrency}):
+                    rate_d, _ = _pipelined_rate(dec_one, depth, per_window)
+                    depth_rates[str(depth)] = round(batch * rate_d, 4)
+                    dec_rate = max(dec_rate, batch * rate_d)
             extras["config4_decoder_only"] = {
                 "decodes_per_sec": round(dec_rate, 4),
                 "median_s": round(float(np.median(dec_only)), 4),
                 "batch": batch,
+                **({"pipelined_by_depth": depth_rates} if depth_rates else {}),
             }
             print(json.dumps({"config4": extras["config4_decoder_only"]}), file=sys.stderr, flush=True)
         except _SkipConfig as e:

@@ -134,6 +134,9 @@ def main(argv=None) -> int:
     print(f"[prof] encoded {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     # ---- sequential + pipelined decode per batch size -------------------
+    # (B=2 at depth >= 6 holds 12+ full decodes in flight and can
+    # RESOURCE_EXHAUSTED the 16 GB chip — guard each sweep so one OOM
+    # depth doesn't kill the remaining measurements)
     for b in args.batches:
         out = outs[b]
 
@@ -157,9 +160,14 @@ def main(argv=None) -> int:
 
         depth_rates = {}
         for depth in args.depths:
-            rate, windows = _pipelined_rate(
-                dec_one, depth, max(args.per_window // b, 8)
-            )
+            try:
+                rate, windows = _pipelined_rate(
+                    dec_one, depth, max(args.per_window // b, 8)
+                )
+            except Exception as e:
+                depth_rates[str(depth)] = {"error": repr(e)[:200]}
+                print(f"[prof] b{b} depth {depth}: {e!r}", file=sys.stderr, flush=True)
+                break  # deeper depths only hold more in flight
             depth_rates[str(depth)] = {
                 "decodes_per_sec": round(rate * b, 3),
                 "windows": windows,
@@ -169,6 +177,9 @@ def main(argv=None) -> int:
                 file=sys.stderr, flush=True,
             )
         result[f"pipelined_b{b}"] = depth_rates
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(result, f, indent=1)
 
     # ---- cumulative phase chain (B=1) -----------------------------------
     # Mirrors VAEformerCodec.decompress (models/vaeformer.py) stage by
