@@ -373,6 +373,7 @@ def test_downloader_without_cdsapi(monkeypatch, tmp_path):
         dl.save("2024-06-01T00:00:00", str(tmp_path))
 
 
+@pytest.mark.slow  # quick-suite re-budget (VERDICT r4 next #8): heavy tail
 def test_find_close_external_bpg_mock(tmp_path, gradient_image, capsys):
     """find_close bisects an external codec's QP range (mocked bpg whose
     output size shrinks as -q grows, like a real QP)."""

@@ -95,6 +95,7 @@ def test_vit_encoder_flash_on_matches_off():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.slow  # quick-suite re-budget (VERDICT r4 next #8): heavy tail
 def test_train_step_through_flash(tmp_path):
     """Gradients flow through the Pallas forward+backward inside a full
     training step (the exact 268v-on-TPU configuration, tiny geometry)."""

@@ -39,6 +39,7 @@ def test_invertible_conv1x1():
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
 
 
+@pytest.mark.slow  # quick-suite re-budget (VERDICT r4 next #8): heavy tail
 def test_invcomp_reverse_consistency():
     """InvComp forward mean-reduces, so fwd->rev is not exact identity;
     but rev(fwd) with M == total_nc/1... instead check rev path shape and

@@ -158,6 +158,7 @@ def test_masked_conv_causality():
     assert not np.allclose(y0[0, :, 3], y1[0, :, 3])  # later rows see it
 
 
+@pytest.mark.slow  # quick-suite re-budget (VERDICT r4 next #8): heavy tail
 def test_remat_blocks_match_and_train():
     """Rematerialized towers produce identical outputs and gradients run."""
     import dataclasses

@@ -59,6 +59,7 @@ def test_sharded_forward_matches_single_device():
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.slow  # quick-suite re-budget (VERDICT r4 next #8): heavy tail
 def test_sharded_grads_match_single_device():
     """Gradient parity through the dp/tp collectives (VERDICT r3 #2c): the
     dp=2 x tp=2 sharded loss gradient must equal the single-device

@@ -151,7 +151,8 @@ def test_sorted_mode_off_stays_unsorted(rng):
     assert np.array_equal(coder.decode(data, idx), sym)
 
 
-@pytest.mark.parametrize("unroll", [1, 3, 8, 1000])
+@pytest.mark.parametrize("unroll", [1, 3, 8, pytest.param(
+    1000, marks=pytest.mark.slow)])  # quick-suite re-budget (r5)
 def test_sorted_kernel_unroll_invariant(sorted_on, rng, unroll):
     """The kernel's step unroll factor (incl. U > M and the no-op step
     padding when U does not divide M) never changes decoded symbols."""

@@ -199,6 +199,7 @@ def test_full_state_resume_matches_uninterrupted(tmp_path):
         )
 
 
+@pytest.mark.slow  # quick-suite re-budget (VERDICT r4 next #8): heavy tail
 def test_ckpt_keep_prunes_old_checkpoints(tmp_path):
     """ckpt_keep=N retains only the newest N step_/state_ files (long
     full-state runs otherwise accumulate multi-GB checkpoints) and the

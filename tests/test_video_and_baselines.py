@@ -41,6 +41,7 @@ def test_warp_identity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
 
 
+@pytest.mark.slow  # quick-suite re-budget (VERDICT r4 next #8): heavy tail
 def test_ssf_forward():
     model = ScaleSpaceFlow(num_levels=2, mid_planes=8, planes=8)
     frames = jax.random.uniform(jax.random.PRNGKey(0), (3, 1, 3, 128, 128))

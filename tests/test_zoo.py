@@ -100,6 +100,7 @@ def test_autoregressive_forward(cls):
     assert set(out["likelihoods"]) == {"y", "z"}
 
 
+@pytest.mark.slow  # quick-suite re-budget (VERDICT r4 next #8): heavy tail
 def test_autoregressive_roundtrip():
     """Serial AR codec: decoded y_hat must match the encoder's y_hat
     exactly (context desync would corrupt everything downstream)."""
