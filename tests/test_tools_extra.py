@@ -266,3 +266,27 @@ def test_finalize_scaling_record_replay(tmp_path, capsys):
     assert set(rep["encode_finalize"]) == {"1", "2"}
     assert rep["decode_parse"]["1"] > 0
     assert rep["encode_headroom_x"] > 0
+
+
+@pytest.mark.slow
+def test_decode_profile_tiny(tmp_path, capsys):
+    """decode_profile --model tiny: the full profiler path (sequential,
+    depth sweep, cumulative phase chain with RTT-cancelling differencing)
+    runs on CPU and the phase budget sums to the cumulative total."""
+    from cra5_tpu.tools import decode_profile
+
+    out = str(tmp_path / "prof.json")
+    assert decode_profile.main(
+        ["--model", "tiny", "--depths", "1,2", "--batches", "1",
+         "--iters", "2", "--per-window", "4", "--phase-iters", "2",
+         "-o", out]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["seq_b1"]["decodes_per_sec"] > 0
+    assert set(res["pipelined_b1"]) == {"1", "2"}
+    cum = res["phase_chain_cumulative_s"]
+    assert len(cum) == 4 and cum[3] >= cum[0] > 0
+    budget = res["phase_budget_s"]
+    assert abs(sum(budget.values()) - cum[3]) < 1e-6
+    with open(out) as f:
+        assert json.load(f)["model"] == "tiny"
